@@ -1,0 +1,96 @@
+"""URL canonicalization / validation vs pure-Python oracles."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mcp_crawl4ai_rag_spark.functions import urls as U
+
+CASES = [
+    "https://Developer.Apple.com/Documentation/SwiftUI/",
+    "https://developer.apple.com/documentation/swiftui/view?language=objc#overview",
+    "HTTP://EXAMPLE.COM/A/B/",
+    "https://developer.apple.com/documentation/metal",
+    "https://developer.apple.com/documentation/metal/",
+    "https://a.com/x//",
+    "https://a.com",
+    "https://a.com/%ef%bb%bfpath",
+    "https://a.com/p?q=1;r=2#frag",
+    "https://developer.apple.com/documentation/a/documentation/b",
+    "https://a.comhttps://b.com/x",
+    "https:/broken.com/x",
+    "https://developer.apple.com/documentation/" + "x" * 300,
+    "https://a.com/UPPER/Case/Path",
+    "ftp://weird.com/file",
+    "https://www.youtube.com/watch?v=abc123",
+]
+
+
+def test_canonicalize_matches_oracle(spark):
+    df = spark.createDataFrame([(u,) for u in CASES], ["url"])
+    got = [
+        r["c"]
+        for r in df.select(U.canonicalize_url(F.col("url")).alias("c"))
+        .orderBy("c")
+        .collect()
+    ]
+    want = sorted(U.canonicalize_url_py(u) for u in CASES)
+    assert got == want
+
+
+def test_malformed_matches_oracle(spark):
+    df = spark.createDataFrame([(u,) for u in CASES], ["url"])
+    got = {
+        r["url"]: r["bad"]
+        for r in df.select("url", U.is_malformed(F.col("url")).alias("bad")).collect()
+    }
+    for u in CASES:
+        assert got[u] == U.is_malformed_py(u), u
+
+
+def test_malformed_known_cases(spark):
+    assert U.is_malformed_py("https://a.comhttps://b.com/x")
+    assert U.is_malformed_py("https:/broken.com/x")
+    assert U.is_malformed_py("https://x/documentation/a/documentation/b")
+    assert U.is_malformed_py("https://a.com/" + "y" * 200)
+    assert not U.is_malformed_py(U.APPLE_DOCS_PREFIX + "swiftui")
+
+
+def test_error_page_predicate(spark):
+    rows = [
+        ("ok content", 200, False),
+        ("An unknown error occurred.", 200, True),
+        ("x An unknown error occurred. y", 200, True),
+        ("whatever", 404, True),
+        ("whatever", 403, True),
+        ("whatever", 410, True),
+        ("whatever", 500, False),
+        ("", 200, False),
+        ("whatever", None, False),
+    ]
+    df = spark.createDataFrame(
+        [(c, s) for c, s, _ in rows], "content string, status int"
+    )
+    got = [
+        r["err"]
+        for r in df.select(
+            U.is_permanent_error(F.col("status"), F.col("content")).alias("err")
+        ).collect()
+    ]
+    assert got == [e for _, _, e in rows]
+    for c, s, e in rows:
+        assert U.is_error_page_py(c, s) == e
+
+
+def test_url_kind(spark):
+    df = spark.createDataFrame(
+        [
+            (U.APPLE_DOCS_PREFIX + "swiftui",),
+            ("https://developer.apple.com/documentation",),
+            ("https://www.youtube.com/watch?v=abc",),
+            ("https://other.com/x",),
+        ],
+        ["url"],
+    )
+    got = [r["k"] for r in df.select(U.url_kind(F.col("url")).alias("k")).collect()]
+    assert got == ["web", "web", "media", "other"]
