@@ -1,0 +1,457 @@
+"""The BFS-round crawl engine — frontier scheduler + fetch + link pipeline.
+
+One ``round()`` is one Spark job chain re-expressing the reference's
+asyncio worker-pool loop (src/crawler/core.py:224-449; SURVEY.md §3.1):
+
+  pop (budgeted window rank, W1)
+  → fetch join (J5; sandbox stand-in for the HTTP fetch S10 — pushdown
+    filter on the corpus scan + broadcast join back)
+  → span cleaning (P6) + render
+  → error split (P4: dead / retry / fetched)
+  → link explode (P5) → canonicalize (P1) → malformed filter (P2)
+  → robots filter (J6, generalizing the scope filter P3)
+  → bloom-prefiltered anti-join dedup (J3 / S2)
+  → snapshot commits: documents fast-append, frontier rewrite (stand-in
+    for Iceberg MERGE), hosts charge, metrics append, checkpoint.
+
+Determinism contract (matched bit-for-bit by oracle/simulator.py):
+frontier order is (priority DESC, discovered_seq ASC); new URLs get
+discovered_seq by first occurrence in (pop_rank, link_pos) order.
+
+Scale notes (10^10 frontier / 1000 executors):
+- the pop shuffles pending rows by host once; hot hosts are budget-bounded
+  so the global top-k after the window is tiny (TakeOrderedAndProject);
+- the fetch stage repartitions the popped batch by (host, salt) —
+  ``salt = xxhash64(url) % salt_buckets`` — so one hot host spreads over
+  many tasks while politeness accounting stays at host granularity
+  (tokens are charged from per-host counts, not per-task);
+- the seen-set anti-join shuffles only bloom-HIT candidates; at a 1%
+  bloom FP rate, 99% of genuinely-new URLs skip the shuffle;
+- frontier rewrite per round is the sandbox stand-in for an Iceberg
+  MERGE (which touches only matched partitions); documents/metrics use
+  true fast-appends (new files only);
+- everything driver-side is O(batch) or O(bitmap), never O(frontier).
+
+In production the fetch join becomes a ``mapInPandas`` partition fetcher
+with per-partition browser/session reuse (apple_stealth_crawler.py:16-21);
+the surrounding plan is unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mcp_crawl4ai_rag_spark.functions.markdown import clean_spans, render_spans_text
+from mcp_crawl4ai_rag_spark.functions.urls import (
+    canonicalize_url,
+    is_malformed,
+    is_permanent_error,
+)
+from mcp_crawl4ai_rag_spark.operators.dedup import (
+    BloomFilter,
+    ShardedCuckoo,
+    build_bloom,
+    new_urls,
+)
+from mcp_crawl4ai_rag_spark.operators.politeness import (
+    budgeted_pop,
+    charge_hosts,
+    init_hosts,
+    refill_hosts,
+    robots_allowed,
+    with_host_and_path,
+)
+from mcp_crawl4ai_rag_spark.plans.snapshots import CrawlCheckpoint, SnapshotTable
+
+FRONTIER_COLS = ["url", "url_hash", "host", "depth", "priority", "seq", "state", "attempts"]
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        corpus: DataFrame,
+        robots: DataFrame,
+        hosts: DataFrame,
+        workdir: str,
+        batch_size: int = 20,
+        max_attempts: int | None = 3,
+        use_bloom: bool = True,
+        use_cuckoo: bool = False,
+        bloom_bits: int = 1 << 20,
+        salt_buckets: int = 8,
+        fetch_partitions: int | None = None,
+    ):
+        self.spark = spark
+        self.corpus = corpus
+        self.robots = robots
+        self.batch_size = batch_size
+        self.max_attempts = max_attempts
+        self.use_bloom = use_bloom
+        self.use_cuckoo = use_cuckoo
+        self.bloom_bits = bloom_bits
+        self.salt_buckets = salt_buckets
+        self.fetch_partitions = fetch_partitions
+
+        self.frontier_tbl = SnapshotTable(workdir, "frontier")
+        self.documents_tbl = SnapshotTable(workdir, "documents")
+        self.hosts_tbl = SnapshotTable(workdir, "hosts")
+        self.metrics_tbl = SnapshotTable(workdir, "metrics")
+        self.checkpoint = CrawlCheckpoint(workdir)
+        self._hosts_init = hosts
+
+        self.round_id = 0
+        self.seq_counter = 0
+        self.versions: dict[str, int] = {}
+        self.seen_bloom = BloomFilter(bloom_bits) if use_bloom else None
+        self.seen_cuckoo = ShardedCuckoo() if use_cuckoo else None
+
+    # -- state I/O ----------------------------------------------------------
+
+    def _read(self, tbl: SnapshotTable, name: str) -> DataFrame:
+        return tbl.read(self.spark, self.versions.get(name))
+
+    def _commit(self, tbl: SnapshotTable, name: str, df: DataFrame, **kw) -> None:
+        info = tbl.commit(df, **kw)
+        self.versions[name] = info.version
+
+    def _save_checkpoint(self) -> None:
+        state = {
+            "round_id": self.round_id,
+            "seq_counter": self.seq_counter,
+            "versions": self.versions,
+            "batch_size": self.batch_size,
+            "bloom_bits": self.bloom_bits,
+        }
+        if self.seen_bloom is not None:
+            state["bloom_path"] = self.checkpoint.save_filter(
+                self.round_id, self.seen_bloom.to_bytes()
+            )
+        self.checkpoint.save(state)
+
+    @classmethod
+    def resume(
+        cls, spark: SparkSession, corpus: DataFrame, robots: DataFrame, workdir: str, **kw
+    ) -> "CrawlEngine":
+        """Rebuild an engine bit-for-bit from the last checkpoint: table
+        reads are pinned to the checkpointed snapshot versions, the bloom
+        bitmap reloads from its state file, counters restore (north rule
+        resume-mid-crawl)."""
+        ck = CrawlCheckpoint(workdir).load()
+        if ck is None:
+            raise FileNotFoundError(f"no checkpoint under {workdir}")
+        hosts_placeholder = spark.createDataFrame(
+            [], "host string, capacity double, refill_rate double"
+        )
+        eng = cls(
+            spark,
+            corpus,
+            robots,
+            hosts_placeholder,
+            workdir,
+            batch_size=ck["batch_size"],
+            bloom_bits=ck["bloom_bits"],
+            **kw,
+        )
+        eng.round_id = ck["round_id"]
+        eng.seq_counter = ck["seq_counter"]
+        eng.versions = dict(ck["versions"])
+        if eng.use_bloom and ck.get("bloom_path") and os.path.exists(ck["bloom_path"]):
+            with open(ck["bloom_path"], "rb") as f:
+                eng.seen_bloom = BloomFilter.from_bytes(f.read())
+        return eng
+
+    # -- seeding ------------------------------------------------------------
+
+    def seed(self, seeds: list[tuple[str, int]]) -> int:
+        """Seed the frontier (S1: insert-if-not-exists semantics,
+        operations.py:32-41): canonicalize → malformed → robots →
+        first-occurrence dedup → seq assignment in seed order."""
+        df = self.spark.createDataFrame(
+            [(u, p, i) for i, (u, p) in enumerate(seeds)],
+            "raw_url string, priority int, seed_idx long",
+        )
+        cand = (
+            df.withColumn("url", canonicalize_url(F.col("raw_url")))
+            .where(~is_malformed(F.col("url")))
+            .transform(with_host_and_path)
+        )
+        w = Window.partitionBy("url").orderBy("seed_idx")
+        cand = cand.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1)
+        cand = robots_allowed(cand, self.robots)
+        rows = (
+            cand.withColumn(
+                "seq", F.row_number().over(Window.orderBy("seed_idx")).cast("long") - 1
+            )
+            .select(
+                "url",
+                F.xxhash64("url").alias("url_hash"),
+                "host",
+                F.lit(0).alias("depth"),
+                "priority",
+                "seq",
+                F.lit("pending").alias("state"),
+                F.lit(0).alias("attempts"),
+            )
+        )
+        self._commit(self.frontier_tbl, "frontier", rows, partition_by=["state"])
+        self._commit(self.hosts_tbl, "hosts", init_hosts(self._hosts_init))
+        empty_docs = self.spark.createDataFrame(
+            [],
+            "url string, host string, depth int, fetch_round int, seq_in_round int, "
+            "status int, content string, spans array<struct<kind:string,text:string,"
+            "media_ref:string,offset:int>>",
+        )
+        self._commit(self.documents_tbl, "documents", empty_docs)
+        self._commit(
+            self.metrics_tbl,
+            "metrics",
+            self.spark.createDataFrame(
+                [], "round int, scope string, key string, value long"
+            ),
+        )
+        n = rows.count()
+        self.seq_counter = n
+        self._maintain_filters(rows.select("url_hash"), [])
+        self._save_checkpoint()
+        return n
+
+    # -- seen-filter maintenance ---------------------------------------------
+
+    def _maintain_filters(self, new_hashes_df: DataFrame, dead_hashes: list[int]) -> None:
+        if self.seen_bloom is not None:
+            delta = build_bloom(
+                new_hashes_df, "url_hash", self.seen_bloom.num_bits, self.seen_bloom.num_hashes
+            )
+            self.seen_bloom = self.seen_bloom.merge(delta)
+        if self.seen_cuckoo is not None:
+            new_keys = [r["url_hash"] for r in new_hashes_df.collect()]
+            self.seen_cuckoo.insert_many(new_keys)
+            self.seen_cuckoo.delete_many(dead_hashes)
+
+    # -- one BFS round --------------------------------------------------------
+
+    def round(self) -> dict:
+        """Run one crawl round; returns the round's metrics dict
+        (popped == 0 ⇒ frontier drained)."""
+        self.round_id += 1
+        frontier = self._read(self.frontier_tbl, "frontier")
+        hosts = self._read(self.hosts_tbl, "hosts")
+        if self.round_id > 1:
+            hosts = refill_hosts(hosts)
+
+        pending = frontier.where(F.col("state") == "pending")
+        popped = budgeted_pop(pending, hosts, self.batch_size).cache()
+        n_popped = popped.count()
+        if n_popped == 0:
+            popped.unpersist()
+            self.round_id -= 1
+            return {"round": self.round_id + 1, "popped": 0}
+
+        # fetch: pushdown-filtered corpus scan + broadcast join back; salted
+        # repartition spreads hot hosts across tasks (J5 skew note)
+        popped_urls = [r["url"] for r in popped.select("url").collect()]
+        pages = self.corpus.where(F.col("url").isin(popped_urls)).select(
+            "url", "status_code", "spans", "out_links"
+        )
+        nparts = self.fetch_partitions or self.spark.sparkContext.defaultParallelism
+        fetch_input = popped.repartition(
+            nparts,
+            F.col("host"),
+            F.pmod(F.xxhash64("url"), F.lit(self.salt_buckets)),
+        )
+        enriched = (
+            fetch_input.join(F.broadcast(pages), "url", "left")
+            .withColumn("status", F.coalesce(F.col("status_code"), F.lit(404)))
+            .withColumn(
+                "clean_spans",
+                clean_spans(
+                    F.coalesce(
+                        F.col("spans"),
+                        F.expr(
+                            "CAST(array() AS array<struct<kind:string,text:string,"
+                            "media_ref:string,offset:int>>)"
+                        ),
+                    )
+                ),
+            )
+            .withColumn("text", render_spans_text(F.col("clean_spans")))
+            .withColumn("is_dead_err", is_permanent_error(F.col("status"), F.col("text")))
+            .withColumn(
+                "is_empty", ~F.col("is_dead_err") & (F.length(F.trim(F.col("text"))) == 0)
+            )
+            .withColumn(
+                "outcome",
+                F.when(F.col("is_dead_err"), F.lit("dead"))
+                .when(
+                    F.col("is_empty")
+                    & (
+                        F.lit(self.max_attempts is not None)
+                        & (F.col("attempts") + 1 >= F.lit(self.max_attempts or 0))
+                    ),
+                    F.lit("dead"),
+                )
+                .when(F.col("is_empty"), F.lit("retry"))
+                .otherwise(F.lit("fetched")),
+            )
+            .cache()
+        )
+
+        # documents fast-append (S4 content sink)
+        docs = enriched.where(F.col("outcome") == "fetched").select(
+            "url",
+            "host",
+            "depth",
+            F.lit(self.round_id).alias("fetch_round"),
+            (F.col("pop_rank") - 1).cast("int").alias("seq_in_round"),
+            "status",
+            F.col("text").alias("content"),
+            F.col("clean_spans").alias("spans"),
+        )
+        self._commit(self.documents_tbl, "documents", docs, mode="append")
+
+        # link pipeline (P5→P1→P2→J6→J3)
+        links = (
+            enriched.where(F.col("outcome") == "fetched")
+            .select(
+                "pop_rank",
+                "depth",
+                F.posexplode_outer("out_links").alias("link_pos", "href"),
+            )
+            .where(F.col("href").isNotNull())
+        )
+        w_page = Window.partitionBy("pop_rank", "href").orderBy("link_pos")
+        links = (
+            links.withColumn("__rn", F.row_number().over(w_page))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        n_links_seen = links.count()
+        canon = links.withColumn("url", canonicalize_url(F.col("href"))).where(
+            ~is_malformed(F.col("url"))
+        )
+        first = canon.groupBy("url").agg(
+            F.min(F.struct("pop_rank", "link_pos", "depth")).alias("f")
+        )
+        cand = first.select(
+            "url",
+            F.col("f.pop_rank").alias("pop_rank"),
+            F.col("f.link_pos").alias("link_pos"),
+            (F.col("f.depth") + 1).alias("depth"),
+        ).transform(with_host_and_path)
+        cand = robots_allowed(cand, self.robots)
+
+        # seen set: current frontier minus this round's deaths (they leave
+        # the set before link insertion — simulator order), minus nothing
+        # else; popped non-dead rows stay seen
+        dead = enriched.where(F.col("outcome") == "dead").select("url", "url_hash")
+        untouched = frontier.join(popped.select("url"), "url", "left_anti")
+        popped_after = (
+            enriched.where(F.col("outcome") != "dead")
+            .withColumn(
+                "state",
+                F.when(F.col("outcome") == "fetched", F.lit("fetched")).otherwise(
+                    F.lit("pending")
+                ),
+            )
+            .withColumn(
+                "attempts",
+                F.when(F.col("outcome") == "retry", F.col("attempts") + 1).otherwise(
+                    F.col("attempts")
+                ),
+            )
+            .select(*FRONTIER_COLS)
+        )
+        base = untouched.select(*FRONTIER_COLS).unionByName(popped_after)
+
+        fresh = new_urls(
+            cand, base.select("url"), bloom=self.seen_bloom, spark=self.spark
+        )
+        w_order = Window.orderBy("pop_rank", "link_pos")
+        new_rows = fresh.select(
+            "url",
+            F.xxhash64("url").alias("url_hash"),
+            "host",
+            F.col("depth").cast("int").alias("depth"),
+            F.lit(0).alias("priority"),
+            (F.row_number().over(w_order) + F.lit(self.seq_counter - 1)).cast(
+                "long"
+            ).alias("seq"),
+            F.lit("pending").alias("state"),
+            F.lit(0).alias("attempts"),
+        ).cache()
+        n_new = new_rows.count()
+
+        next_frontier = base.unionByName(new_rows)
+        self._commit(
+            self.frontier_tbl, "frontier", next_frontier, partition_by=["state"]
+        )
+        self.seq_counter += n_new
+
+        # politeness charge + per-host lineage metrics
+        popped_counts = popped.groupBy("host").agg(F.count("*").alias("popped"))
+        self._commit(self.hosts_tbl, "hosts", charge_hosts(hosts, popped_counts))
+
+        outcome_counts = {
+            r["outcome"]: r["n"]
+            for r in enriched.groupBy("outcome").agg(F.count("*").alias("n")).collect()
+        }
+        m = {
+            "round": self.round_id,
+            "popped": n_popped,
+            "fetched": outcome_counts.get("fetched", 0),
+            "dead": outcome_counts.get("dead", 0),
+            "retried": outcome_counts.get("retry", 0),
+            "links_seen": n_links_seen,
+            "links_inserted": n_new,
+        }
+        metric_rows = [
+            (self.round_id, "round", k, int(v)) for k, v in m.items() if k != "round"
+        ] + [
+            (self.round_id, f"host:{r['host']}", "popped", int(r["popped"]))
+            for r in popped_counts.collect()
+        ]
+        self._commit(
+            self.metrics_tbl,
+            "metrics",
+            self.spark.createDataFrame(
+                metric_rows, "round int, scope string, key string, value long"
+            ),
+            mode="append",
+        )
+
+        dead_hashes = [r["url_hash"] for r in dead.collect()] if self.use_cuckoo else []
+        self._maintain_filters(new_rows.select("url_hash"), dead_hashes)
+        self._save_checkpoint()
+        popped.unpersist()
+        enriched.unpersist()
+        new_rows.unpersist()
+        return m
+
+    def run(self, max_rounds: int = 1000) -> list[dict]:
+        out = []
+        for _ in range(max_rounds):
+            m = self.round()
+            if m["popped"] == 0:
+                break
+            out.append(m)
+        return out
+
+    # -- result accessors ------------------------------------------------------
+
+    def documents(self) -> DataFrame:
+        return self._read(self.documents_tbl, "documents")
+
+    def frontier(self) -> DataFrame:
+        return self._read(self.frontier_tbl, "frontier")
+
+    def metrics(self) -> DataFrame:
+        return self._read(self.metrics_tbl, "metrics")
+
+    def crawl_order(self) -> DataFrame:
+        """(url, fetch_round, seq_in_round) for every *fetched* page —
+        compared against the oracle simulator's ordering."""
+        return self.documents().select("url", "fetch_round", "seq_in_round")

@@ -1,0 +1,546 @@
+"""URL-seen dedup + document dedup suite.
+
+URL-seen (north rule): the reference's dedup is a PostgreSQL unique
+constraint (`INSERT ... ON CONFLICT (url) DO NOTHING`,
+src/database/operations.py:32-59). At 10^10-URL scale that becomes:
+
+1. a *partitioned bloom filter* prefilter — per-partition bitmaps built
+   with mapInPandas (numpy), OR-merged, broadcast; candidates that miss the
+   bloom are definitely-new and skip the expensive anti-join; hits are
+   resolved EXACTLY by a left_anti join, so bloom false positives (and stale
+   entries left by deleted dead URLs) never affect correctness, only the
+   volume of exact work;
+2. a *cuckoo filter* variant whose deletable fingerprints let DEAD-url
+   reclamation (operations.py:108-122 deletes pages) shrink the filter
+   instead of poisoning it.
+
+Both filters key on 64-bit hashes (xxhash64(url) on the JVM side; the
+Python-side double hashing derives from blake2b for independence).
+
+Document dedup suite (training-data extensions): exact (fingerprint
+groupBy), MinHash+LSH banding, SimHash, n-gram Jaccard verification,
+embedding-cosine near-dup.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import BooleanType
+
+# ---------------------------------------------------------------------------
+# Bloom filter (numpy bitmap, double hashing)
+# ---------------------------------------------------------------------------
+
+
+def _hash_pair(key: int) -> tuple[int, int]:
+    """Two independent 64-bit hashes from a 64-bit key."""
+    d = hashlib.blake2b(int(key).to_bytes(8, "little", signed=True), digest_size=16).digest()
+    return int.from_bytes(d[:8], "little"), int.from_bytes(d[8:], "little")
+
+
+def _hash_pair_vec(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized double hashing: two rounds of splitmix64 over int64 keys."""
+    def splitmix(x: np.ndarray, gamma: np.uint64) -> np.ndarray:
+        x = (x + gamma).astype(np.uint64)
+        x ^= x >> np.uint64(30)
+        x = (x * np.uint64(0xBF58476D1CE4E5B9)).astype(np.uint64)
+        x ^= x >> np.uint64(27)
+        x = (x * np.uint64(0x94D049BB133111EB)).astype(np.uint64)
+        x ^= x >> np.uint64(31)
+        return x
+
+    k = keys.astype(np.int64).view(np.uint64)
+    with np.errstate(over="ignore"):
+        return splitmix(k, np.uint64(0x9E3779B97F4A7C15)), splitmix(
+            k, np.uint64(0xD1B54A32D192ED03)
+        )
+
+
+class BloomFilter:
+    """Fixed-size bloom bitmap over int64 keys; numpy-vectorized add/contains.
+
+    Merge = bitwise OR, so per-partition filters built in executors combine
+    on the driver — the "partitioned bloom" build.
+    """
+
+    def __init__(self, num_bits: int = 1 << 23, num_hashes: int = 7, bits: np.ndarray | None = None):
+        assert num_bits % 8 == 0
+        self.num_bits = num_bits
+        self.num_hashes = num_hashes
+        self.bits = bits if bits is not None else np.zeros(num_bits // 8, dtype=np.uint8)
+
+    def _positions(self, keys: np.ndarray) -> np.ndarray:
+        h1, h2 = _hash_pair_vec(keys)
+        i = np.arange(self.num_hashes, dtype=np.uint64)[:, None]
+        with np.errstate(over="ignore"):
+            return ((h1[None, :] + i * h2[None, :]) % np.uint64(self.num_bits)).astype(
+                np.uint64
+            )
+
+    def add_many(self, keys: np.ndarray) -> None:
+        if len(keys) == 0:
+            return
+        pos = self._positions(np.asarray(keys)).ravel()
+        np.bitwise_or.at(self.bits, (pos >> np.uint64(3)).astype(np.int64), (1 << (pos & np.uint64(7))).astype(np.uint8))
+
+    def contains_many(self, keys: np.ndarray) -> np.ndarray:
+        if len(keys) == 0:
+            return np.zeros(0, dtype=bool)
+        pos = self._positions(np.asarray(keys))
+        byte = self.bits[(pos >> np.uint64(3)).astype(np.int64)]
+        hit = (byte & (1 << (pos & np.uint64(7))).astype(np.uint8)) != 0
+        return hit.all(axis=0)
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        assert self.num_bits == other.num_bits and self.num_hashes == other.num_hashes
+        return BloomFilter(self.num_bits, self.num_hashes, self.bits | other.bits)
+
+    def to_bytes(self) -> bytes:
+        return self.bits.tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes, num_hashes: int = 7) -> "BloomFilter":
+        bits = np.frombuffer(data, dtype=np.uint8).copy()
+        return cls(len(bits) * 8, num_hashes, bits)
+
+
+def build_bloom(df: DataFrame, key_col: str, num_bits: int = 1 << 23, num_hashes: int = 7) -> BloomFilter:
+    """Distributed partitioned-bloom build: per-partition bitmaps in
+    executors (mapInPandas), OR-merge on the driver."""
+    nb, nh = num_bits, num_hashes
+
+    def per_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bf = BloomFilter(nb, nh)
+        saw = False
+        for batch in batches:
+            keys = batch[key_col].to_numpy(dtype=np.int64)
+            bf.add_many(keys)
+            saw = saw or len(batch) > 0
+        if saw:
+            yield pd.DataFrame({"bits": [bf.to_bytes()]})
+
+    parts = df.select(key_col).mapInPandas(per_partition, "bits binary").collect()
+    out = BloomFilter(nb, nh)
+    for row in parts:
+        out = out.merge(BloomFilter.from_bytes(row["bits"], nh))
+    return out
+
+
+def make_bloom_contains_udf(spark, bloom: BloomFilter):
+    """Broadcast the bitmap; return a pandas UDF Column predicate."""
+    b = spark.sparkContext.broadcast((bloom.to_bytes(), bloom.num_hashes))
+
+    @pandas_udf(BooleanType())
+    def might_contain(keys: pd.Series) -> pd.Series:
+        bf = BloomFilter.from_bytes(b.value[0], b.value[1])
+        return pd.Series(bf.contains_many(keys.to_numpy(dtype=np.int64)))
+
+    return might_contain
+
+
+# ---------------------------------------------------------------------------
+# Cuckoo filter (deletable approximate membership)
+# ---------------------------------------------------------------------------
+
+
+class CuckooFilter:
+    """Bucketed cuckoo filter: 4 slots/bucket, 16-bit fingerprints.
+
+    Supports delete — used to reclaim DEAD urls (the reference deletes the
+    page row, operations.py:108-122, making the URL re-discoverable; a bloom
+    can't forget, a cuckoo can). Sharded by hash range in the engine so each
+    shard can live with (and be maintained by) one frontier partition.
+    """
+
+    SLOTS = 4
+    MAX_KICKS = 500
+
+    def __init__(self, num_buckets: int = 1 << 16, table: np.ndarray | None = None):
+        assert num_buckets & (num_buckets - 1) == 0, "power of two"
+        self.num_buckets = num_buckets
+        self.table = (
+            table
+            if table is not None
+            else np.zeros((num_buckets, self.SLOTS), dtype=np.uint16)
+        )
+        self._rng = np.random.default_rng(0xC0FFEE)
+
+    def _fp_and_index(self, key: int) -> tuple[int, int]:
+        h1, h2 = _hash_pair(key)
+        fp = (h2 & 0xFFFF) or 1  # fingerprint 0 means empty slot
+        return fp, h1 % self.num_buckets
+
+    def _alt_index(self, idx: int, fp: int) -> int:
+        # standard partial-key cuckoo: alt = idx XOR hash(fp)
+        d = hashlib.blake2b(int(fp).to_bytes(2, "little"), digest_size=8).digest()
+        return (idx ^ int.from_bytes(d, "little")) % self.num_buckets
+
+    def insert(self, key: int) -> bool:
+        fp, i1 = self._fp_and_index(key)
+        i2 = self._alt_index(i1, fp)
+        for i in (i1, i2):
+            empty = np.flatnonzero(self.table[i] == 0)
+            if len(empty):
+                self.table[i, empty[0]] = fp
+                return True
+        # evict
+        i = int(self._rng.choice((i1, i2)))
+        cur = np.uint16(fp)
+        for _ in range(self.MAX_KICKS):
+            slot = int(self._rng.integers(self.SLOTS))
+            cur, self.table[i, slot] = self.table[i, slot], cur
+            i = self._alt_index(i, int(cur))
+            empty = np.flatnonzero(self.table[i] == 0)
+            if len(empty):
+                self.table[i, empty[0]] = cur
+                return True
+        return False  # full
+
+    def contains(self, key: int) -> bool:
+        fp, i1 = self._fp_and_index(key)
+        i2 = self._alt_index(i1, fp)
+        return bool((self.table[i1] == fp).any() or (self.table[i2] == fp).any())
+
+    def delete(self, key: int) -> bool:
+        fp, i1 = self._fp_and_index(key)
+        for i in (i1, self._alt_index(i1, fp)):
+            hit = np.flatnonzero(self.table[i] == fp)
+            if len(hit):
+                self.table[i, hit[0]] = 0
+                return True
+        return False
+
+    def to_bytes(self) -> bytes:
+        return self.table.tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes, num_buckets: int) -> "CuckooFilter":
+        table = np.frombuffer(data, dtype=np.uint16).reshape(num_buckets, cls.SLOTS).copy()
+        return cls(num_buckets, table)
+
+
+class ShardedCuckoo:
+    """Hash-range-sharded cuckoo filters — the distributed layout: shard i
+    holds keys with hash%n == i, mirroring frontier partitioning so each
+    partition maintains its own filter."""
+
+    def __init__(self, num_shards: int = 8, buckets_per_shard: int = 1 << 14):
+        self.num_shards = num_shards
+        self.shards = [CuckooFilter(buckets_per_shard) for _ in range(num_shards)]
+
+    def _shard(self, key: int) -> CuckooFilter:
+        return self.shards[key % self.num_shards]
+
+    def insert_many(self, keys) -> None:
+        for k in keys:
+            self._shard(int(k)).insert(int(k))
+
+    def delete_many(self, keys) -> None:
+        for k in keys:
+            self._shard(int(k)).delete(int(k))
+
+    def contains_many(self, keys: np.ndarray) -> np.ndarray:
+        return np.fromiter(
+            (self._shard(int(k)).contains(int(k)) for k in keys),
+            dtype=bool,
+            count=len(keys),
+        )
+
+
+# ---------------------------------------------------------------------------
+# URL-seen dedup operator (S1/S2/J3)
+# ---------------------------------------------------------------------------
+
+
+def new_urls(
+    candidates: DataFrame,
+    seen: DataFrame,
+    url_col: str = "url",
+    bloom: BloomFilter | None = None,
+    spark=None,
+) -> DataFrame:
+    """Exactly the set of candidate urls not in `seen` (operations.py:43-59
+    batch-upsert semantics), with optional bloom prefilter.
+
+    candidates are deduped internally first (dropDuplicates) — the
+    reference's executemany upsert keeps the first occurrence.
+    At scale: the anti-join shuffles only bloom-HIT candidates; misses skip
+    the shuffle entirely (union of a shuffle-free branch).
+    """
+    cands = candidates.dropDuplicates([url_col])
+    if bloom is None:
+        return cands.join(seen.select(url_col), url_col, "left_anti")
+    might = make_bloom_contains_udf(spark, bloom)
+    tagged = cands.withColumn("__hit", might(F.xxhash64(F.col(url_col))))
+    definitely_new = tagged.where(~F.col("__hit")).drop("__hit")
+    maybe_seen = tagged.where(F.col("__hit")).drop("__hit")
+    resolved = maybe_seen.join(seen.select(url_col), url_col, "left_anti")
+    return definitely_new.unionByName(resolved)
+
+
+# ---------------------------------------------------------------------------
+# Document dedup suite (training-data extensions)
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup groups by normalized-text fingerprint; returns
+    (fingerprint, dup_count, keep_id, member_ids)."""
+    from mcp_crawl4ai_rag_spark.functions.text import fingerprint
+
+    return (
+        df.select(F.col(id_col).alias("id"), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count("*").alias("dup_count"),
+            F.min("id").alias("keep_id"),
+            F.sort_array(F.collect_list("id")).alias("member_ids"),
+        )
+        .where(F.col("dup_count") > 1)
+    )
+
+
+def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
+    """Word k-shingles → stable 64-bit hashes."""
+    toks = (text or "").lower().split()
+    if len(toks) < k:
+        shingles = [" ".join(toks)] if toks else []
+    else:
+        shingles = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    out = np.empty(max(len(shingles), 0), dtype=np.uint64)
+    for i, s in enumerate(shingles):
+        out[i] = int.from_bytes(
+            hashlib.blake2b(s.encode(), digest_size=8).digest(), "little"
+        )
+    return out
+
+
+def make_minhash_udf(num_perm: int = 64, shingle_k: int = 5):
+    """MinHash signature pandas UDF: array<bigint> of length num_perm."""
+    rng = np.random.default_rng(42)
+    a = rng.integers(1, 1 << 61, size=num_perm, dtype=np.uint64) | np.uint64(1)
+    b = rng.integers(0, 1 << 61, size=num_perm, dtype=np.uint64)
+    prime = np.uint64((1 << 61) - 1)
+
+    @pandas_udf("array<bigint>")
+    def minhash(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            h = _shingle_hashes(t, shingle_k)
+            if len(h) == 0:
+                out.append([0] * num_perm)
+                continue
+            with np.errstate(over="ignore"):
+                vals = (h[None, :] * a[:, None] + b[:, None]) % prime
+            out.append(vals.min(axis=1).astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return minhash
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs: shingle→minhash→band→bucket
+    self-join. Returns (id_a, id_b) with id_a < id_b.
+
+    Scale notes: the self-join shuffles on (band, band_hash) — uniformly
+    hashed keys, no skew; signature width is num_perm*8 bytes/doc.
+    """
+    rows_per_band = num_perm // bands
+    sig = df.select(
+        F.col(id_col).alias("id"), make_minhash_udf(num_perm, shingle_k)(F.col(text_col)).alias("sig")
+    )
+    banded = sig.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda band: F.xxhash64(
+                    F.slice(F.col("sig"), band * rows_per_band + 1, rows_per_band),
+                    band,
+                ),
+            )
+        ).alias("band", "band_hash"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def make_ngram_jaccard_udf(shingle_k: int = 5):
+    @pandas_udf("double")
+    def jaccard(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = []
+        for x, y in zip(a, b):
+            sa, sb = set(_shingle_hashes(x, shingle_k)), set(_shingle_hashes(y, shingle_k))
+            if not sa and not sb:
+                out.append(1.0)
+            elif not sa or not sb:
+                out.append(0.0)
+            else:
+                out.append(len(sa & sb) / len(sa | sb))
+        return pd.Series(out)
+
+    return jaccard
+
+
+def near_duplicates_minhash(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Candidates from LSH, verified by exact n-gram Jaccard >= threshold."""
+    cands = minhash_lsh_candidates(df, text_col, id_col, num_perm, bands, shingle_k)
+    texts = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    joined = (
+        cands.join(texts.withColumnRenamed("id", "id_a").withColumnRenamed("text", "text_a"), "id_a")
+        .join(texts.withColumnRenamed("id", "id_b").withColumnRenamed("text", "text_b"), "id_b")
+    )
+    jac = make_ngram_jaccard_udf(shingle_k)
+    return (
+        joined.withColumn("jaccard", jac(F.col("text_a"), F.col("text_b")))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def make_simhash_udf(bits: int = 64):
+    @pandas_udf("bigint")
+    def simhash(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = (t or "").lower().split()
+            if not toks:
+                out.append(0)
+                continue
+            acc = np.zeros(bits, dtype=np.int64)
+            for tok in toks:
+                h = int.from_bytes(
+                    hashlib.blake2b(tok.encode(), digest_size=8).digest(), "little"
+                )
+                for i in range(bits):
+                    acc[i] += 1 if (h >> i) & 1 else -1
+            val = 0
+            for i in range(bits):
+                if acc[i] > 0:
+                    val |= 1 << i
+            out.append(val - (1 << bits) if val >= (1 << (bits - 1)) else val)
+        return pd.Series(out)
+
+    return simhash
+
+
+def simhash_near_duplicates(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup pairs: band the 64-bit hash into 4 × 16-bit blocks
+    (pigeonhole: hamming<=3 ⇒ at least one block equal), bucket-join, then
+    verify hamming distance with bit ops."""
+    sim = df.select(F.col(id_col).alias("id"), make_simhash_udf()(F.col(text_col)).alias("sh"))
+    blocks = sim.select(
+        "id",
+        "sh",
+        F.posexplode(
+            F.array(*[F.shiftrightunsigned(F.col("sh"), i * 16).bitwiseAND(F.lit(0xFFFF)) for i in range(4)])
+        ).alias("block_idx", "block_val"),
+    )
+    l, r = blocks.alias("l"), blocks.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.block_idx") == F.col("r.block_idx"))
+            & (F.col("l.block_val") == F.col("r.block_val"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.sh").alias("sh_a"),
+            F.col("r.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return pairs.withColumn("hamming", ham).where(ham <= max_hamming).select(
+        "id_a", "id_b", "hamming"
+    )
+
+
+def embedding_near_duplicates(
+    df: DataFrame, vec_col: str, id_col: str, threshold: float = 0.95
+) -> DataFrame:
+    """Embedding-cosine near-dup over unit vectors via coarse LSH bucketing:
+    sign-random-projection bucket join, then exact cosine verify (pure
+    Column fold)."""
+    from mcp_crawl4ai_rag_spark.functions.embedding import cosine_sim
+
+    planes = 8
+    rng = np.random.default_rng(7)
+    # random hyperplanes as literal arrays — broadcast-free, deterministic
+    first = df.select(vec_col).first()
+    dim = len(first[vec_col]) if first else 0
+    hyper = rng.standard_normal((planes, dim))
+
+    def bucket_expr(vec):
+        bits = [
+            F.when(
+                F.aggregate(
+                    F.zip_with(vec, F.lit(hyper[i].tolist()), lambda a, b: a.cast("double") * b),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                >= 0,
+                F.lit(1),
+            ).otherwise(F.lit(0))
+            * (1 << i)
+            for i in range(planes)
+        ]
+        out = bits[0]
+        for b in bits[1:]:
+            out = out + b
+        return out
+
+    tagged = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    ).withColumn("bucket", bucket_expr(F.col("vec")))
+    l, r = tagged.alias("l"), tagged.alias("r")
+    pairs = l.join(
+        r,
+        (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id")),
+    ).select(
+        F.col("l.id").alias("id_a"),
+        F.col("r.id").alias("id_b"),
+        F.col("l.vec").alias("vec_a"),
+        F.col("r.vec").alias("vec_b"),
+    )
+    return (
+        pairs.withColumn("cos", cosine_sim(F.col("vec_a"), F.col("vec_b")))
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

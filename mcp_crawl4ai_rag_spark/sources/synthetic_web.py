@@ -1,0 +1,234 @@
+"""Deterministic synthetic web (FIXTURES.md §1-§5).
+
+Replaces the reference's live HTTP fetch (apple_stealth_crawler.py:266-311)
+with a joinable corpus table: multi-host graph, one hot host (~50% of URLs,
+skew-salting test), BFS depth >= 4, cycles, canonicalization variants,
+malformed links, robots-disallowed paths, permanent-error and empty-content
+pages.
+
+Everything derives from a seeded RNG; the same Python structures feed BOTH
+the Spark corpus DataFrame and the sequential oracle simulator, so equality
+tests compare two executions of identical input.
+"""
+
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+SPAN_STRUCT = StructType(
+    [
+        StructField("kind", StringType()),
+        StructField("text", StringType()),
+        StructField("media_ref", StringType()),
+        StructField("offset", IntegerType()),
+    ]
+)
+
+CORPUS_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("host", StringType(), False),
+        StructField("status_code", IntegerType(), False),
+        StructField("spans", ArrayType(SPAN_STRUCT), False),
+        StructField("out_links", ArrayType(StringType()), False),
+    ]
+)
+
+WORDS = (
+    "metal swift view render buffer texture shader scene audio video "
+    "network storage index query stream batch vector tensor graph node"
+).split()
+
+
+@dataclass
+class SyntheticWeb:
+    corpus: dict = field(default_factory=dict)  # url -> page dict
+    seeds: list = field(default_factory=list)  # [(url, priority)]
+    robots: list = field(default_factory=list)  # [(host, rule_type, path_prefix, crawl_delay)]
+    hosts: list = field(default_factory=list)  # [(host, capacity, refill_rate)]
+
+    def corpus_df(self, spark: SparkSession) -> DataFrame:
+        rows = [
+            (
+                p["url"],
+                p["host"],
+                p["status_code"],
+                [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in p["spans"]],
+                p["out_links"],
+            )
+            for p in self.corpus.values()
+        ]
+        return spark.createDataFrame(rows, CORPUS_SCHEMA)
+
+    def seeds_df(self, spark: SparkSession) -> DataFrame:
+        return spark.createDataFrame(self.seeds, "url string, priority int")
+
+    def robots_df(self, spark: SparkSession) -> DataFrame:
+        return spark.createDataFrame(
+            self.robots,
+            "host string, rule_type string, path_prefix string, crawl_delay double",
+        )
+
+    def hosts_df(self, spark: SparkSession) -> DataFrame:
+        return spark.createDataFrame(
+            self.hosts, "host string, capacity double, refill_rate double"
+        )
+
+
+def _make_spans(rng: random.Random, url: str, error_body: bool) -> list[dict]:
+    spans: list[dict] = []
+    off = 0
+
+    def text_span(t: str, kind: str = "text"):
+        nonlocal off
+        spans.append({"kind": kind, "text": t, "media_ref": None, "offset": off})
+        off += 1
+
+    def media_span():
+        nonlocal off
+        spans.append(
+            {
+                "kind": "media",
+                "text": "",
+                "media_ref": f"media://{url.split('//')[1]}/{off}",
+                "offset": off,
+            }
+        )
+        off += 1
+
+    if error_body:
+        text_span("An unknown error occurred.")
+        return spans
+
+    if rng.random() < 0.6:
+        text_span("overview line before the title")
+    text_span(f"# {rng.choice(WORDS).title()} Reference", "heading")
+    n = rng.randint(3, 14)
+    for _ in range(n):
+        r = rng.random()
+        if r < 0.18:
+            media_span()
+        elif r < 0.3:
+            text_span(f"## {rng.choice(WORDS).title()} [{rng.choice(WORDS)}](https://x/{rng.randint(0,9)})", "heading")
+        elif r < 0.38:
+            text_span(f"see ![fig](https://img/{rng.randint(0,99)}.png) and [link]({url}) text")
+        else:
+            k = rng.randint(4, 40)
+            text_span(" ".join(rng.choice(WORDS) for _ in range(k)) + ".")
+    if rng.random() < 0.2:
+        text_span(rng.choice(["## Topics", "## See Also"]), "heading")
+        text_span("trailing content that must be truncated away")
+    return spans
+
+
+def _link_variants(rng: random.Random, url: str) -> str:
+    """Raw href that canonicalizes back to `url`."""
+    r = rng.random()
+    if r < 0.25:
+        scheme, rest = url.split("://", 1)
+        host, _, path = rest.partition("/")
+        return f"{scheme.upper()}://{host.upper()}/{path}"
+    if r < 0.45:
+        return url + "/"
+    if r < 0.6:
+        return url + "?session=1&x=2"
+    if r < 0.7:
+        return url + "#fragment"
+    if r < 0.8:
+        return url.replace("/doc", "/DOC", 1)
+    return url
+
+
+def generate_web(
+    seed: int = 42,
+    n_hosts: int = 8,
+    n_pages: int = 300,
+    n_seeds: int = 3,
+    p_permanent_error: float = 0.05,
+    p_error_body: float = 0.01,
+    p_empty: float = 0.02,
+    out_degree: tuple[int, int] = (2, 10),
+    with_robots: bool = True,
+) -> SyntheticWeb:
+    rng = random.Random(seed)
+    hosts = ["docs.example.com"] + [f"h{i}.example.org" for i in range(1, n_hosts)]
+
+    # hot-host skew: host 0 holds ~half the pages
+    urls: list[str] = []
+    for i in range(n_pages):
+        host = hosts[0] if rng.random() < 0.5 else rng.choice(hosts[1:])
+        seg = rng.choice(WORDS)
+        if with_robots and rng.random() < 0.08:
+            urls.append(f"https://{host}/private/{seg}/{i}")
+        else:
+            urls.append(f"https://{host}/documentation/{seg}/{i}")
+
+    web = SyntheticWeb()
+    for i, url in enumerate(urls):
+        r = rng.random()
+        if r < p_permanent_error:
+            status = rng.choice([403, 404, 410])
+            error_body = False
+        elif r < p_permanent_error + p_error_body:
+            status, error_body = 200, True
+        elif r < p_permanent_error + p_error_body + p_empty:
+            status, error_body = 200, False
+        else:
+            status, error_body = 200, False
+        empty = p_permanent_error + p_error_body <= r < p_permanent_error + p_error_body + p_empty
+
+        # outgoing links: mostly same-host (BFS locality), some cross-host,
+        # canonicalization variants, dups, malformed injections
+        deg = rng.randint(*out_degree)
+        raw_links: list[str] = []
+        for _ in range(deg):
+            if rng.random() < 0.75:
+                cands = [u for u in urls if u.split("/")[2] == url.split("/")[2]]
+            else:
+                cands = urls
+            target = rng.choice(cands)
+            raw_links.append(_link_variants(rng, target))
+        if rng.random() < 0.3 and raw_links:
+            raw_links.append(raw_links[0])  # in-page duplicate
+        if rng.random() < 0.1:
+            raw_links.append("https://evil.comhttps://evil.com/x")  # malformed
+        if rng.random() < 0.05:
+            raw_links.append("https://long.example.com/" + "z" * 250)
+        if rng.random() < 0.05:
+            raw_links.append(f"https://{url.split('/')[2]}/%ef%bb%bf/bom")
+
+        host = url.split("/")[2]
+        web.corpus[url] = {
+            "url": url,
+            "host": host,
+            "status_code": status,
+            "spans": [] if empty else _make_spans(rng, url, error_body),
+            "out_links": raw_links,
+        }
+
+    # seeds: first page of the hot host + random others (canonical, fetchable)
+    ok_urls = [u for u in urls if web.corpus[u]["status_code"] == 200 and web.corpus[u]["spans"]]
+    seeds = [ok_urls[0]]
+    while len(seeds) < min(n_seeds, len(ok_urls)):
+        c = rng.choice(ok_urls)
+        if c not in seeds:
+            seeds.append(c)
+    web.seeds = [(u, 0) for u in seeds]
+
+    if with_robots:
+        for h in hosts:
+            web.robots.append((h, "disallow", "/private/", 0.0))
+            web.robots.append((h, "allow", "/", 0.0))
+
+    web.hosts = [(h, 1e9, 1e9) for h in hosts]  # default: unlimited budget
+    return web

@@ -1,0 +1,194 @@
+"""End-to-end crawl replay: Spark engine vs sequential oracle simulator.
+
+Asserts (SURVEY.md §5.2 / north rule):
+(a) crawl ordering equality — every fetched page's (url, fetch_round,
+    seq_in_round) matches the oracle;
+(b) URL-seen set equality (SO4) — both directions empty;
+(c) final per-url states match;
+(d) document span-sequence equality (kind, text, media_ref, order) and
+    rendered-content equality;
+(e) politeness: per-round per-host pops never exceed the token budget;
+(f) resume-from-checkpoint reproduces the uninterrupted run bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from mcp_crawl4ai_rag_spark.operators.crawl import CrawlEngine
+from mcp_crawl4ai_rag_spark.oracle.simulator import CrawlSimulator
+from mcp_crawl4ai_rag_spark.sources.synthetic_web import generate_web
+
+
+def run_pair(spark, tmp_path, web, batch_size, host_budgets, max_rounds=200, **ekw):
+    sim = CrawlSimulator(
+        web.corpus,
+        web.seeds,
+        robots=web.robots,
+        host_budgets=host_budgets,
+        batch_size=batch_size,
+        max_attempts=3,
+        max_rounds=max_rounds,
+    ).run()
+    hosts_rows = [(h, float(c), float(r)) for h, (c, r) in host_budgets.items()]
+    hosts_df = spark.createDataFrame(
+        hosts_rows, "host string, capacity double, refill_rate double"
+    )
+    eng = CrawlEngine(
+        spark,
+        web.corpus_df(spark),
+        web.robots_df(spark),
+        hosts_df,
+        str(tmp_path / "crawl"),
+        batch_size=batch_size,
+        max_attempts=3,
+        **ekw,
+    )
+    eng.seed(web.seeds)
+    eng.run(max_rounds=max_rounds)
+    return sim, eng
+
+
+def assert_equivalent(sim, eng):
+    # (a) ordering for fetched pages
+    got = {
+        (r["url"], r["fetch_round"], r["seq_in_round"])
+        for r in eng.crawl_order().collect()
+    }
+    want = {
+        (u, rnd, seq) for (u, rnd, seq) in sim.crawl_order if u in sim.documents
+    }
+    assert got == want, (
+        f"order mismatch: extra={sorted(got - want)[:5]} missing={sorted(want - got)[:5]}"
+    )
+    # (b) URL-seen set equality
+    eng_seen = {r["url"] for r in eng.frontier().select("url").collect()}
+    assert eng_seen == sim.seen_set, (
+        f"seen diff: extra={sorted(eng_seen - sim.seen_set)[:5]} "
+        f"missing={sorted(sim.seen_set - eng_seen)[:5]}"
+    )
+    # (c) states
+    eng_states = {
+        r["url"]: r["state"] for r in eng.frontier().select("url", "state").collect()
+    }
+    assert eng_states == sim.final_states
+    # (d) span-sequence + content equality
+    docs = {
+        r["url"]: r
+        for r in eng.documents().select("url", "content", "spans").collect()
+    }
+    assert set(docs) == set(sim.documents)
+    for url, row in docs.items():
+        assert row["content"] == sim.documents[url], url
+        got_spans = [
+            (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in row["spans"]
+        ]
+        want_spans = [
+            (s["kind"], s["text"], s["media_ref"], s["offset"])
+            for s in sim.doc_spans[url]
+        ]
+        assert got_spans == want_spans, url
+
+
+@pytest.fixture(scope="module")
+def web():
+    return generate_web(seed=42, n_hosts=6, n_pages=120, n_seeds=3)
+
+
+def test_crawl_matches_oracle_fifo(spark, tmp_path, web):
+    """Unlimited politeness → pure FIFO (reference semantics)."""
+    budgets = {h: (1e9, 1e9) for h, _, _ in web.hosts}
+    sim, eng = run_pair(spark, tmp_path, web, batch_size=30, host_budgets=budgets)
+    assert_equivalent(sim, eng)
+    # sanity: the crawl actually did something non-trivial
+    assert len(sim.documents) > 30
+    assert sim.rounds >= 2
+
+
+def test_crawl_matches_oracle_with_politeness(spark, tmp_path, web):
+    """Tight token buckets: equality AND budget enforcement."""
+    budgets = {h: (4.0, 2.0) for h, _, _ in web.hosts}
+    sim, eng = run_pair(
+        spark, tmp_path, web, batch_size=12, host_budgets=budgets, max_rounds=60
+    )
+    assert_equivalent(sim, eng)
+    # (e) per-round per-host pops <= running token budget
+    per_host = {
+        (r["round"], r["scope"]): r["value"]
+        for r in eng.metrics().where("scope like 'host:%'").collect()
+    }
+    tokens = {h: 4.0 for h, _, _ in web.hosts}
+    max_round = max(rnd for rnd, _ in per_host) if per_host else 0
+    for rnd in range(1, max_round + 1):
+        if rnd > 1:
+            for h in tokens:
+                tokens[h] = min(4.0, tokens[h] + 2.0)
+        for h in tokens:
+            popped = per_host.get((rnd, f"host:{h}"), 0)
+            assert popped <= int(tokens[h]), (rnd, h, popped, tokens[h])
+            tokens[h] -= popped
+
+
+def test_resume_bit_for_bit(spark, tmp_path, web):
+    """Kill after k rounds, resume from checkpoint, final state identical."""
+    budgets = {h: (1e9, 1e9) for h, _, _ in web.hosts}
+    hosts_df = spark.createDataFrame(
+        [(h, 1e9, 1e9) for h, _, _ in web.hosts],
+        "host string, capacity double, refill_rate double",
+    )
+    corpus_df = web.corpus_df(spark)
+    robots_df = web.robots_df(spark)
+
+    full = CrawlEngine(
+        spark, corpus_df, robots_df, hosts_df, str(tmp_path / "full"), batch_size=30,
+        max_attempts=3,
+    )
+    full.seed(web.seeds)
+    full.run(max_rounds=200)
+
+    part = CrawlEngine(
+        spark, corpus_df, robots_df, hosts_df, str(tmp_path / "part"), batch_size=30,
+        max_attempts=3,
+    )
+    part.seed(web.seeds)
+    for _ in range(3):
+        part.round()
+    # simulate crash: drop the engine, resume purely from disk state
+    resumed = CrawlEngine.resume(
+        spark, corpus_df, robots_df, str(tmp_path / "part"), max_attempts=3
+    )
+    assert resumed.round_id == 3 and resumed.seq_counter == part.seq_counter
+    resumed.run(max_rounds=200)
+
+    a = sorted(
+        (r["url"], r["fetch_round"], r["seq_in_round"])
+        for r in full.crawl_order().collect()
+    )
+    b = sorted(
+        (r["url"], r["fetch_round"], r["seq_in_round"])
+        for r in resumed.crawl_order().collect()
+    )
+    assert a == b
+    fa = sorted(
+        (r["url"], r["state"], r["seq"]) for r in full.frontier().collect()
+    )
+    fb = sorted(
+        (r["url"], r["state"], r["seq"]) for r in resumed.frontier().collect()
+    )
+    assert fa == fb
+
+
+def test_crawl_with_cuckoo_filter(spark, tmp_path):
+    """Cuckoo-filter variant (deletable seen-set) produces identical results."""
+    web = generate_web(seed=7, n_hosts=4, n_pages=60, n_seeds=2)
+    budgets = {h: (1e9, 1e9) for h, _, _ in web.hosts}
+    sim, eng = run_pair(
+        spark,
+        tmp_path,
+        web,
+        batch_size=20,
+        host_budgets=budgets,
+        use_bloom=False,
+        use_cuckoo=True,
+    )
+    assert_equivalent(sim, eng)

@@ -1,0 +1,140 @@
+"""Bloom/cuckoo filter correctness + URL-seen dedup operator."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from mcp_crawl4ai_rag_spark.operators import dedup as D
+
+
+def test_bloom_no_false_negatives_and_low_fp():
+    bf = D.BloomFilter(num_bits=1 << 16, num_hashes=7)
+    rng = np.random.default_rng(0)
+    members = rng.integers(-(1 << 62), 1 << 62, size=2000, dtype=np.int64)
+    bf.add_many(members)
+    assert bf.contains_many(members).all()
+    probes = rng.integers(-(1 << 62), 1 << 62, size=5000, dtype=np.int64)
+    fresh = np.setdiff1d(probes, members)
+    fp_rate = bf.contains_many(fresh).mean()
+    assert fp_rate < 0.05, fp_rate
+
+
+def test_bloom_merge_equals_union():
+    a, b = D.BloomFilter(1 << 12), D.BloomFilter(1 << 12)
+    ka = np.arange(0, 100, dtype=np.int64)
+    kb = np.arange(1000, 1100, dtype=np.int64)
+    a.add_many(ka)
+    b.add_many(kb)
+    m = a.merge(b)
+    assert m.contains_many(np.concatenate([ka, kb])).all()
+
+
+def test_bloom_serialization_roundtrip():
+    bf = D.BloomFilter(1 << 12)
+    keys = np.arange(50, dtype=np.int64)
+    bf.add_many(keys)
+    back = D.BloomFilter.from_bytes(bf.to_bytes())
+    assert back.num_bits == 1 << 12
+    assert back.contains_many(keys).all()
+
+
+def test_cuckoo_insert_contains_delete():
+    cf = D.CuckooFilter(num_buckets=1 << 10)
+    keys = list(range(-500, 500))
+    for k in keys:
+        assert cf.insert(k)
+    for k in keys:
+        assert cf.contains(k)
+    # delete half, they disappear (no false negatives on the rest)
+    for k in keys[::2]:
+        assert cf.delete(k)
+    for k in keys[1::2]:
+        assert cf.contains(k)
+    deleted_still = sum(cf.contains(k) for k in keys[::2])
+    assert deleted_still <= len(keys[::2]) * 0.05  # only fp collisions remain
+
+
+def test_sharded_cuckoo():
+    sc = D.ShardedCuckoo(num_shards=4, buckets_per_shard=1 << 8)
+    keys = np.arange(300, dtype=np.int64)
+    sc.insert_many(keys)
+    assert sc.contains_many(keys).all()
+    sc.delete_many(keys[:100])
+    assert sc.contains_many(keys[100:]).all()
+
+
+def test_distributed_bloom_build(spark):
+    df = spark.range(0, 5000).select(F.xxhash64("id").alias("key")).repartition(6)
+    bf = D.build_bloom(df, "key", num_bits=1 << 18)
+    keys = np.array(
+        [r["key"] for r in df.collect()], dtype=np.int64
+    )
+    assert bf.contains_many(keys).all()
+
+
+def test_new_urls_with_and_without_bloom(spark):
+    cands = spark.createDataFrame(
+        [(f"https://h/{i}",) for i in range(200)] + [("https://h/5",)], ["url"]
+    )
+    seen = spark.createDataFrame([(f"https://h/{i}",) for i in range(0, 200, 2)], ["url"])
+    expected = sorted(f"https://h/{i}" for i in range(1, 200, 2))
+    got_plain = sorted(
+        r["url"] for r in D.new_urls(cands, seen).select("url").collect()
+    )
+    assert got_plain == expected
+    bloom = D.build_bloom(
+        seen.select(F.xxhash64("url").alias("h")), "h", num_bits=1 << 16
+    )
+    got_bloom = sorted(
+        r["url"]
+        for r in D.new_urls(cands, seen, bloom=bloom, spark=spark).select("url").collect()
+    )
+    assert got_bloom == expected
+
+
+def test_exact_duplicates(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "Hello   world"),
+            (2, "hello world"),
+            (3, "different doc"),
+            (4, "HELLO WORLD  "),
+        ],
+        ["id", "text"],
+    )
+    groups = D.exact_duplicates(df, "text", "id").collect()
+    assert len(groups) == 1
+    g = groups[0]
+    assert g["dup_count"] == 3 and g["keep_id"] == 1
+    assert g["member_ids"] == [1, 2, 4]
+
+
+def test_minhash_near_duplicates(spark):
+    base = " ".join(f"tok{i}" for i in range(300))
+    near = " ".join(f"tok{i}" for i in range(299)) + " tokX"
+    far = " ".join(f"zzz{i}" for i in range(300))
+    df = spark.createDataFrame([(1, base), (2, near), (3, far)], ["id", "text"])
+    pairs = D.near_duplicates_minhash(df, "text", "id", threshold=0.5).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
+    assert pairs[0]["jaccard"] > 0.9
+
+
+def test_simhash_near_duplicates(spark):
+    base = " ".join(f"tok{i}" for i in range(200))
+    near = base.replace("tok5 ", "tok5x ")
+    far = " ".join(f"qqq{i}" for i in range(200))
+    df = spark.createDataFrame([(1, base), (2, near), (3, far)], ["id", "text"])
+    pairs = D.simhash_near_duplicates(df, "text", "id", max_hamming=8).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
+
+
+def test_embedding_near_duplicates(spark):
+    from mcp_crawl4ai_rag_spark.functions.embedding import hash_embed_py
+
+    v1 = hash_embed_py("doc one", 32)
+    v2 = [x + 0.001 for x in v1]
+    v3 = hash_embed_py("totally other", 32)
+    df = spark.createDataFrame([(1, v1), (2, v2), (3, v3)], "id int, vec array<float>")
+    pairs = D.embedding_near_duplicates(df, "vec", "id", threshold=0.99).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
