@@ -1,0 +1,128 @@
+"""Multimodal column plumbing: media as opaque binary + typed metadata.
+
+The reference strips media at fetch time (apple_stealth_crawler.py:246,331)
+and handles only one media type out-of-band (YouTube subtitles). A
+training-data engine must carry media through: this module defines the
+Spark-side plumbing — schema, partitioning, Arrow batch shapes — for
+decode / feature-extract / resize / frame-sample stages.
+
+The actual codecs (PIL/ffmpeg/librosa) are NOT in this container, so the
+decode kernels are stubbed: ``decode_stub_raises=True`` surfaces a clear
+NotImplementedError; the default produces a deterministic fake (hash-derived
+dimensions/features) so the distributed plumbing is fully testable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "doc_id string, media_ref string, kind string, payload binary, "
+    "meta map<string,string>"
+)
+
+DECODED_SCHEMA = (
+    "doc_id string, media_ref string, kind string, width int, height int, "
+    "n_frames int, feature array<float>"
+)
+
+
+def _fake_decode(payload: bytes, kind: str) -> tuple[int, int, int, list[float]]:
+    """Deterministic stand-in for image/audio/video decode."""
+    d = hashlib.blake2b(payload or b"", digest_size=16).digest()
+    width = 16 + d[0]
+    height = 16 + d[1]
+    n_frames = 1 if kind == "image" else 1 + d[2]
+    rng = np.random.default_rng(int.from_bytes(d[8:], "little"))
+    feat = rng.standard_normal(8).astype(np.float32)
+    feat /= max(float(np.linalg.norm(feat)), 1e-9)
+    return width, height, n_frames, feat.tolist()
+
+
+def decode_media(
+    media: DataFrame,
+    decode_stub_raises: bool = False,
+    batch_partitions: int | None = None,
+) -> DataFrame:
+    """mapInPandas decode stage: binary payload → dimensions + feature
+    vector. Arrow-batched; at scale, repartition by xxhash64(media_ref) to
+    even out payload-size skew before the decode pass."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if decode_stub_raises:
+                raise NotImplementedError(
+                    "media decode requires PIL/ffmpeg; not available in this "
+                    "environment — plug a real kernel here"
+                )
+            rows = [
+                _fake_decode(p, k) for p, k in zip(b["payload"], b["kind"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": b["doc_id"],
+                    "media_ref": b["media_ref"],
+                    "kind": b["kind"],
+                    "width": [r[0] for r in rows],
+                    "height": [r[1] for r in rows],
+                    "n_frames": [r[2] for r in rows],
+                    "feature": [r[3] for r in rows],
+                }
+            )
+
+    src = media
+    if batch_partitions:
+        src = media.repartition(batch_partitions, F.xxhash64("media_ref"))
+    return src.mapInPandas(decode, DECODED_SCHEMA)
+
+
+def resize_plan(decoded: DataFrame, max_side: int = 256) -> DataFrame:
+    """Resize planning is pure column math (the pixel work happens in the
+    decode kernel at scale): emit target dims preserving aspect ratio."""
+    scale = F.least(
+        F.lit(1.0),
+        F.lit(max_side) / F.greatest(F.col("width"), F.col("height")).cast("double"),
+    )
+    return decoded.select(
+        "doc_id",
+        "media_ref",
+        "kind",
+        F.round(F.col("width") * scale).cast("int").alias("target_width"),
+        F.round(F.col("height") * scale).cast("int").alias("target_height"),
+    )
+
+
+def frame_sample_plan(decoded: DataFrame, every_n: int = 10) -> DataFrame:
+    """1 media row → K frame rows (video frame sampling), as a sequence
+    explode — the UDTF shape without Python."""
+    frames = F.sequence(
+        F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)), F.lit(every_n)
+    )
+    return decoded.where(F.col("kind") == "video").select(
+        "doc_id", "media_ref", F.explode(frames).alias("frame_idx")
+    )
+
+
+def media_from_spans(documents: DataFrame) -> DataFrame:
+    """Pull media spans out of span documents into the media table shape
+    (payload empty here — fetch of binaries is a separate source)."""
+    return documents.select(
+        F.col("url").alias("doc_id"),
+        F.explode(
+            F.filter(F.col("spans"), lambda s: s["kind"] == "media")
+        ).alias("span"),
+    ).select(
+        "doc_id",
+        F.col("span.media_ref").alias("media_ref"),
+        F.lit("image").alias("kind"),
+        F.encode(F.col("span.media_ref"), "utf-8").alias("payload"),
+        F.create_map(
+            F.lit("offset"), F.col("span.offset").cast("string")
+        ).alias("meta"),
+    )

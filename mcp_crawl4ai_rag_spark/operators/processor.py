@@ -1,0 +1,59 @@
+"""Processing pipeline: unprocessed-page scan → chunk → embed → chunk sink.
+
+Re-expresses the reference's 3-task asyncio processor
+(src/processor/core.py:84-208; SURVEY.md §3.2) as a single 4-stage
+DataFrame job — no buffers, no advisory locks:
+
+  documents ⟕̸ chunks (anti-join S6/J1, operations.py:138-149)
+  → smart-chunk pandas UDF + posexplode (C1)
+  → validity filter (P8)
+  → hash-embedding pandas UDF (stub for the embedding API)
+  → append to chunks (S7; the reference's delete+insert pair at
+    processor/core.py:196-198 becomes one atomic snapshot commit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mcp_crawl4ai_rag_spark.functions.chunking import chunk_documents
+from mcp_crawl4ai_rag_spark.functions.embedding import DEFAULT_DIM, make_hash_embed_udf
+
+
+def unprocessed_documents(
+    documents: DataFrame,
+    chunks: DataFrame,
+    scope_prefix: str | None = None,
+    limit: int | None = None,
+) -> DataFrame:
+    """S6: pages with content and no chunks, newest first
+    (operations.py:138-149). The anti-join shuffles only urls; with both
+    tables bucketed by url it would be shuffle-free."""
+    df = documents.where(
+        F.col("content").isNotNull() & (F.col("content") != "")
+    )
+    if scope_prefix:
+        df = df.where(
+            F.col("url").startswith(scope_prefix)
+            | (F.col("url") == scope_prefix.rstrip("/"))
+        )
+    df = df.join(chunks.select("url"), "url", "left_anti")
+    if limit is not None:
+        df = df.orderBy(F.desc("fetch_round"), F.desc("seq_in_round")).limit(limit)
+    return df
+
+
+def process_documents(
+    documents: DataFrame,
+    chunks: DataFrame,
+    embed_dim: int = DEFAULT_DIM,
+    scope_prefix: str | None = None,
+    limit: int | None = None,
+) -> DataFrame:
+    """The full processing micro-batch: returns new chunk rows
+    (url, chunk_index, context, content, chunk_json, embedding)."""
+    todo = unprocessed_documents(documents, chunks, scope_prefix, limit)
+    chunked = chunk_documents(todo.select("url", "content"))
+    embed = make_hash_embed_udf(embed_dim)
+    return chunked.withColumn("embedding", embed(F.col("chunk_json")))

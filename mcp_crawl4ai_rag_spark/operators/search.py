@@ -1,0 +1,165 @@
+"""Query path: vector / keyword / hybrid search, rerank stub, pagination,
+stats rollup.
+
+Reference semantics:
+- vector top-k: cosine over chunks, similarity = 1 - distance
+  (operations.py:176-187) — exact brute force (the reference validated
+  exact search too, docs/pgvector_2560_dimensions_solution.md:76-118).
+- keyword: content ILIKE '%q%' ORDER BY url DESC LIMIT k
+  (operations.py:189-198).
+- hybrid merge (apple-dev-mcp.py:277-312): items in BOTH result sets come
+  first (similarity boosted 1.2x, capped 1.0), then remaining vector hits,
+  then keyword-only hits at similarity 0.5; truncate to k. The reference
+  iterates keyword order for the both-tier, vector order for the
+  vector-tier, keyword order for the keyword-tier — reproduced here with
+  rank columns (deterministic, SQL-expressible).
+- rerank (src/local_reranker.py:96-145): a cross-encoder; stubbed as a
+  deterministic hash score, sort desc (apple-dev-mcp.py:189-192 shape).
+- stats rollup: frontend/api.py:276-301.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mcp_crawl4ai_rag_spark.functions.embedding import cosine_sim
+
+
+def vector_topk(
+    chunks: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """W4: exact cosine top-k. orderBy+limit compiles to
+    TakeOrderedAndProject — per-partition heaps, no global sort."""
+    return (
+        chunks.where(F.col(vec_col).isNotNull())
+        .withColumn("similarity", cosine_sim(F.col(vec_col), query_vec))
+        .orderBy(F.desc("similarity"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def keyword_search(
+    chunks: DataFrame,
+    query: str,
+    k: int = 10,
+    id_col: str = "id",
+    content_col: str = "content",
+) -> DataFrame:
+    """W5: ILIKE containment, url DESC order (operations.py:189-198)."""
+    return (
+        chunks.where(F.lower(F.col(content_col)).contains(query.lower()))
+        .orderBy(F.desc("url"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def hybrid_merge(
+    vector_hits: DataFrame,
+    keyword_hits: DataFrame,
+    k: int = 10,
+    id_col: str = "id",
+) -> DataFrame:
+    """J4: tiered outer-join merge.
+
+    tier 0 = in both (similarity*1.2 capped at 1.0, keyword order),
+    tier 1 = vector-only (vector order), tier 2 = keyword-only (0.5,
+    keyword order); truncate to k. Pure joins/windows — no iteration.
+    """
+    v = vector_hits.select(
+        F.col(id_col).alias("id"),
+        F.col("url").alias("v_url"),
+        F.col("content").alias("v_content"),
+        "similarity",
+        F.row_number()
+        .over(Window.orderBy(F.desc("similarity"), F.asc(id_col)))
+        .alias("v_rank"),
+    )
+    kw = keyword_hits.select(
+        F.col(id_col).alias("id"),
+        F.col("url").alias("k_url"),
+        F.col("content").alias("k_content"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("url"), F.asc(id_col)))
+        .alias("k_rank"),
+    )
+    merged = v.join(kw, "id", "full_outer").select(
+        "id",
+        F.coalesce("v_url", "k_url").alias("url"),
+        F.coalesce("v_content", "k_content").alias("content"),
+        F.when(
+            F.col("v_rank").isNotNull() & F.col("k_rank").isNotNull(),
+            F.least(F.lit(1.0), F.col("similarity") * 1.2),
+        )
+        .when(F.col("v_rank").isNotNull(), F.col("similarity"))
+        .otherwise(F.lit(0.5))
+        .alias("similarity"),
+        F.when(F.col("v_rank").isNotNull() & F.col("k_rank").isNotNull(), F.lit(0))
+        .when(F.col("v_rank").isNotNull(), F.lit(1))
+        .otherwise(F.lit(2))
+        .alias("tier"),
+        F.coalesce("k_rank", F.lit(0)).alias("k_rank"),
+        F.coalesce("v_rank", F.lit(0)).alias("v_rank"),
+    )
+    ordered = merged.orderBy(
+        "tier",
+        F.when(F.col("tier") == 1, F.col("v_rank")).otherwise(F.col("k_rank")),
+    )
+    return ordered.limit(k).select("id", "url", "content", "similarity", "tier")
+
+
+def rerank_stub(results: DataFrame, query: str, content_col: str = "content") -> DataFrame:
+    """W7: deterministic stand-in for the cross-encoder rerank — a stable
+    hash score over (query, content); sort desc (apple-dev-mcp.py:189-192)."""
+    score = (
+        F.pmod(F.xxhash64(F.lit(query), F.col(content_col)), F.lit(10**6)) / 1e6
+    ).alias("rerank_score")
+    return results.withColumn("rerank_score", score).orderBy(
+        F.desc("rerank_score"), F.asc("id")
+    )
+
+
+def paginate(
+    df: DataFrame, order_cols: list, limit: int, offset: int
+) -> DataFrame:
+    """W6: LIMIT/OFFSET via row_number window (frontend/api.py:216-226)."""
+    w = Window.orderBy(*order_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where((F.col("__rn") > offset) & (F.col("__rn") <= offset + limit))
+        .drop("__rn")
+    )
+
+
+def stats_rollup(pages: DataFrame, chunks: DataFrame, content_col: str = "content") -> DataFrame:
+    """A3: single-pass conditional aggregation (frontend/api.py:276-301):
+    total pages, pages with content, processed (distinct chunk urls),
+    total chunks, percentages."""
+    has_content = F.col(content_col).isNotNull() & (F.col(content_col) != "")
+    p = pages.agg(
+        F.count("*").alias("total_pages"),
+        F.count(F.when(has_content, 1)).alias("pages_with_content"),
+    )
+    c = chunks.agg(
+        F.count("*").alias("total_chunks"),
+        F.countDistinct("url").alias("processed_pages"),
+    )
+    return p.crossJoin(c).select(
+        "total_pages",
+        "pages_with_content",
+        "processed_pages",
+        (F.col("pages_with_content") - F.col("processed_pages")).alias(
+            "unprocessed_pages"
+        ),
+        "total_chunks",
+        F.round(
+            F.when(F.col("pages_with_content") == 0, F.lit(0.0)).otherwise(
+                F.col("processed_pages") * 100.0 / F.col("pages_with_content")
+            ),
+            2,
+        ).alias("processed_pct"),
+    )

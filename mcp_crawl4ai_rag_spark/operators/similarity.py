@@ -1,0 +1,120 @@
+"""Similarity search over embedding columns (training-data extension).
+
+- brute-force cosine top-k per query (baseline; numpy matmul per Arrow
+  batch — one BLAS call per batch, JVM→Arrow→BLAS, no per-row Python);
+- IVF (inverted-file) variant: k-means-ish coarse centroids from a seeded
+  sample, candidates restricted to the nprobe nearest centroids — the
+  scale path: centroid assignment prunes the candidate set ~nlist/nprobe×;
+- sign-LSH bucketed variant for near-dup-style lookup lives in
+  operators/dedup.embedding_near_duplicates.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def brute_force_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    item_id: str = "vec_id",
+    item_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Exact top-k neighbors for each query: crossJoin (queries broadcast)
+    + cosine + per-query window rank. Queries must be small (broadcast);
+    items arbitrarily large — the join is embarrassingly parallel."""
+    q = F.broadcast(queries.select(query_id, query_vec))
+    from mcp_crawl4ai_rag_spark.functions.embedding import cosine_sim
+
+    scored = items.crossJoin(q).withColumn(
+        "cosine", cosine_sim(F.col(item_vec), F.col(query_vec))
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(item_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id, item_id, "cosine", "rank")
+    )
+
+
+def _sample_centroids(
+    items: DataFrame, nlist: int, item_vec: str, seed: int = 42
+) -> np.ndarray:
+    """Deterministic coarse centroids: seeded sample + a few Lloyd steps on
+    the driver (sample is tiny; the expensive assignment stays distributed)."""
+    sample = (
+        items.select(item_vec)
+        .orderBy(F.xxhash64(F.col(item_vec).cast("string")))
+        .limit(max(nlist * 20, 200))
+        .collect()
+    )
+    x = np.array([r[item_vec] for r in sample], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=min(nlist, len(x)), replace=False)]
+    for _ in range(5):
+        sims = x @ cent.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(cent)):
+            members = x[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[c] = v / n
+    return cent
+
+
+def make_centroid_assign_udf(centroids: np.ndarray, nprobe: int = 1):
+    @pandas_udf("array<int>")
+    def assign(vecs: pd.Series) -> pd.Series:
+        m = np.vstack(vecs.to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (m / norms) @ centroids.T
+        top = np.argsort(-sims, axis=1)[:, :nprobe]
+        return pd.Series([row.astype(int).tolist() for row in top])
+
+    return assign
+
+
+def ivf_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    item_id: str = "vec_id",
+    item_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Approximate top-k: items bucketed by nearest centroid (1 assignment
+    pass), queries probe their nprobe nearest centroids; exact cosine within
+    the probed buckets. At scale the items side is written partitioned by
+    cell so a query touches nprobe/nlist of the data (partition pruning)."""
+    centroids = _sample_centroids(items, nlist, item_vec)
+    item_cell = make_centroid_assign_udf(centroids, 1)
+    query_cells = make_centroid_assign_udf(centroids, nprobe)
+
+    from mcp_crawl4ai_rag_spark.functions.embedding import cosine_sim
+
+    bucketed = items.withColumn("cell", item_cell(F.col(item_vec))[0])
+    probes = queries.withColumn(
+        "cell", F.explode(query_cells(F.col(query_vec)))
+    )
+    scored = bucketed.join(probes, "cell").withColumn(
+        "cosine", cosine_sim(F.col(item_vec), F.col(query_vec))
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(item_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id, item_id, "cosine", "rank")
+    )

@@ -1,0 +1,153 @@
+"""Processor pipeline (anti-join → chunk → embed) + multimodal plumbing +
+streaming link ingest."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from mcp_crawl4ai_rag_spark.functions.chunking import smart_chunk_text
+from mcp_crawl4ai_rag_spark.functions.embedding import hash_embed_py
+from mcp_crawl4ai_rag_spark.operators import multimodal as MM
+from mcp_crawl4ai_rag_spark.operators.processor import (
+    process_documents,
+    unprocessed_documents,
+)
+
+
+def docs_df(spark):
+    rows = [
+        ("https://a/1", 1, 0, "# One\n" + "alpha beta gamma. " * 300),
+        ("https://a/2", 1, 1, "ctx\n# Two\nshort body"),
+        ("https://a/3", 2, 0, ""),
+        ("https://a/4", 2, 1, "# Four\n" + "delta. " * 600),
+    ]
+    return spark.createDataFrame(
+        rows, "url string, fetch_round int, seq_in_round int, content string"
+    )
+
+
+def test_unprocessed_scan_antijoin(spark):
+    docs = docs_df(spark)
+    chunks = spark.createDataFrame([("https://a/1",)], ["url"])
+    todo = unprocessed_documents(docs, chunks)
+    assert {r["url"] for r in todo.select("url").collect()} == {
+        "https://a/2",
+        "https://a/4",
+    }
+    limited = unprocessed_documents(docs, chunks, limit=1)
+    assert [r["url"] for r in limited.select("url").collect()] == ["https://a/4"]
+
+
+def test_process_documents_end_to_end(spark):
+    docs = docs_df(spark)
+    chunks = spark.createDataFrame([], "url string")
+    out = process_documents(docs, chunks, embed_dim=16).orderBy(
+        "url", "chunk_index"
+    )
+    rows = out.collect()
+    # chunk parity with the oracle
+    want = []
+    for r in docs_df(spark).collect():
+        for i, cj in enumerate(smart_chunk_text(r["content"])):
+            if len(cj) >= 64:
+                want.append((r["url"], i, cj))
+    assert [(r["url"], r["chunk_index"], r["chunk_json"]) for r in rows] == sorted(
+        want
+    )
+    # embedding parity with oracle kernel
+    for r in rows[:3]:
+        assert r["embedding"] == pytest.approx(hash_embed_py(r["chunk_json"], 16))
+
+
+def test_media_plumbing(spark):
+    media = spark.createDataFrame(
+        [
+            ("d1", "media://a/1", "image", b"payload-a", {"offset": "1"}),
+            ("d2", "media://b/2", "video", b"payload-b", {"offset": "3"}),
+        ],
+        MM.MEDIA_SCHEMA,
+    )
+    decoded = MM.decode_media(media)
+    rows = {r["media_ref"]: r for r in decoded.collect()}
+    assert set(rows) == {"media://a/1", "media://b/2"}
+    for r in rows.values():
+        assert r["width"] >= 16 and r["height"] >= 16
+        assert len(r["feature"]) == 8
+    # determinism
+    again = {r["media_ref"]: r for r in MM.decode_media(media).collect()}
+    assert again["media://a/1"]["feature"] == rows["media://a/1"]["feature"]
+    # stub raise path
+    with pytest.raises(Exception, match="NotImplementedError|media decode"):
+        MM.decode_media(media, decode_stub_raises=True).collect()
+    # resize plan
+    plan = {r["media_ref"]: r for r in MM.resize_plan(decoded, 64).collect()}
+    for r in plan.values():
+        assert max(r["target_width"], r["target_height"]) <= 64
+    # frame sampling only for video
+    frames = MM.frame_sample_plan(decoded, every_n=50).collect()
+    assert all(f["media_ref"] == "media://b/2" for f in frames)
+
+
+def test_media_from_spans(spark):
+    from mcp_crawl4ai_rag_spark.sources.synthetic_web import generate_web
+
+    web = generate_web(seed=5, n_hosts=3, n_pages=30)
+    docs = web.corpus_df(spark).select(F.col("url"), F.col("spans"))
+    media = MM.media_from_spans(docs)
+    n_media = media.count()
+    want = sum(
+        1
+        for p in web.corpus.values()
+        for s in p["spans"]
+        if s["kind"] == "media"
+    )
+    assert n_media == want
+
+
+def test_streaming_link_ingest(spark, tmp_path):
+    from mcp_crawl4ai_rag_spark.plans.snapshots import SnapshotTable
+    from mcp_crawl4ai_rag_spark.streaming.continuous import start_link_ingest
+
+    workdir = str(tmp_path / "wd")
+    frontier_tbl = SnapshotTable(workdir, "frontier")
+    frontier_tbl.commit(
+        spark.createDataFrame(
+            [("https://h0.com/a", 1, "h0.com", 0, 0, 0, "pending", 0)],
+            "url string, url_hash long, host string, depth int, priority int, "
+            "seq long, state string, attempts int",
+        )
+    )
+    links_dir = tmp_path / "links"
+    links_dir.mkdir()
+    with open(links_dir / "batch1.json", "w") as f:
+        for href, d in [
+            ("https://H0.com/a/", 0),  # dup of existing after canonicalize
+            ("https://h0.com/b?x=1", 0),  # new
+            ("https://h1.com/chttps://h1.com/c", 0),  # malformed
+            ("https://h1.com/d#frag", 1),  # new
+        ]:
+            f.write(json.dumps({"href": href, "parent_url": "p", "depth": d}) + "\n")
+    robots = spark.createDataFrame(
+        [], "host string, rule_type string, path_prefix string, crawl_delay double"
+    )
+    q = start_link_ingest(
+        spark, str(links_dir), workdir, robots, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(60)
+    for _ in range(20):
+        if not q.isActive:
+            break
+        time.sleep(1)
+    got = sorted(
+        r["url"] for r in frontier_tbl.read(spark).select("url").collect()
+    )
+    assert got == [
+        "https://h0.com/a",
+        "https://h0.com/b",
+        "https://h1.com/d",
+    ]

@@ -1,0 +1,65 @@
+"""ANN: brute-force exactness and IVF recall."""
+
+from __future__ import annotations
+
+from mcp_crawl4ai_rag_spark.functions.embedding import hash_embed_py
+from mcp_crawl4ai_rag_spark.operators import similarity as SIM
+
+
+def build(spark, n=300, dim=16):
+    items = spark.createDataFrame(
+        [(i, hash_embed_py(f"item {i}", dim)) for i in range(n)],
+        "vec_id int, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(q, hash_embed_py(f"item {q * 31}", dim)) for q in range(5)],
+        "query_id int, query_vec array<float>",
+    )
+    return items, queries
+
+
+def py_topk(items, queries, k):
+    import math
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return num / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b))
+        )
+
+    out = {}
+    for qid, qv in queries:
+        scored = sorted(
+            ((cos(v, qv), -i) for i, v in items), key=lambda t: (-t[0], -t[1])
+        )
+        out[qid] = [int(-t[1]) for t in scored[:k]]
+    return out
+
+
+def test_brute_force_exact(spark):
+    items, queries = build(spark)
+    got = SIM.brute_force_topk(items, queries, k=5).collect()
+    items_py = [(r["vec_id"], r["embedding"]) for r in items.collect()]
+    queries_py = [(r["query_id"], r["query_vec"]) for r in queries.collect()]
+    want = py_topk(items_py, queries_py, 5)
+    by_q = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append(r["vec_id"])
+    assert by_q == want
+
+
+def test_ivf_recall(spark):
+    items, queries = build(spark, n=400)
+    exact = SIM.brute_force_topk(items, queries, k=5).collect()
+    approx = SIM.ivf_topk(items, queries, k=5, nlist=8, nprobe=4).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
