@@ -1,38 +1,872 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one operator family from SURVEY.md §2
+through the engine's real implementation (mcp_crawl4ai_rag_spark.*); the
+matching ``oracle_sql()`` entry is its ANSI-SQL twin for the DuckDB
+correctness gate. Non-SQL-expressible ops (chunkers, LSH, IVF, multimodal
+decode) are rows-only here and covered by differential pytest oracles.
+
+Float discipline: every floating aggregate/score is rounded (4-6 dp) in
+BOTH engines so partial-aggregation ulp noise can't break the value hash;
+every LIMIT sits on a total (tie-free) ORDER BY.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _doc_url(col_source, col_id):
+    return F.concat_ws("/", col_source, col_id.cast("string"))
+
+
+# ---------------------------------------------------------------------------
+# constructed-URL fixtures (deterministic, expressible in both engines)
+# ---------------------------------------------------------------------------
+
+def _candidate_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        k.alias("key"),
+        F.concat(
+            F.lit("HTTPS://Docs.Example.COM/Documentation/"),
+            k.cast("string"),
+            F.when(k % 4 == 1, F.lit("/"))
+            .when(k % 4 == 2, F.lit("?q=1&session=9"))
+            .when(k % 4 == 3, F.lit("#frag"))
+            .otherwise(F.lit("")),
+        ).alias("raw_url"),
+    )
+
+
+_CANDIDATE_URLS_SQL = """
+    SELECT o_orderkey AS key,
+           'HTTPS://Docs.Example.COM/Documentation/' || CAST(o_orderkey AS VARCHAR) ||
+           CASE o_orderkey % 4 WHEN 1 THEN '/' WHEN 2 THEN '?q=1&session=9'
+                WHEN 3 THEN '#frag' ELSE '' END AS raw_url
+    FROM orders
+"""
+
+
+def _malformed_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        k.alias("key"),
+        F.when(k % 5 == 1, F.concat(F.lit("https://a.comhttps://a.com/"), k.cast("string")))
+        .when(k % 5 == 2, F.concat(F.lit("https://a.com/%ef%bb%bf/"), k.cast("string")))
+        .when(k % 5 == 3, F.concat(F.lit("https://a.com/"), F.repeat(F.lit("z"), 220)))
+        .when(k % 5 == 4, F.concat(F.lit("https://a.com/documentation/x/documentation/"), k.cast("string")))
+        .otherwise(F.concat(F.lit("https://developer.apple.com/documentation/ok/"), k.cast("string")))
+        .alias("url"),
+    )
+
+
+_MALFORMED_POOL_SQL = """
+    SELECT o_orderkey AS key,
+           CASE o_orderkey % 5
+             WHEN 1 THEN 'https://a.comhttps://a.com/' || CAST(o_orderkey AS VARCHAR)
+             WHEN 2 THEN 'https://a.com/%ef%bb%bf/' || CAST(o_orderkey AS VARCHAR)
+             WHEN 3 THEN 'https://a.com/' || repeat('z', 220)
+             WHEN 4 THEN 'https://a.com/documentation/x/documentation/' || CAST(o_orderkey AS VARCHAR)
+             ELSE 'https://developer.apple.com/documentation/ok/' || CAST(o_orderkey AS VARCHAR)
+           END AS url
+    FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_s2_dedup_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/J3: batch URL dedup-insert — candidates anti-join seen set."""
+    from mcp_crawl4ai_rag_spark.operators.dedup import new_urls
+
+    cands = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("url")
+    )
+    seen = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select(F.col("o_orderkey").alias("url"))
+    return new_urls(cands, seen).select(F.col("url").alias("url_key"))
+
+
+def q_s3_frontier_pop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/W1: FIFO frontier pop — oldest pending first, LIMIT n."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.where(F.col("event_type") == "view")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .limit(50)
+        .select("event_id", F.unix_timestamp("ts").alias("ts_epoch"))
+    )
+
+
+def q_w1_per_host_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 politeness shape: per-partition (nation=host) rank <= budget."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.withColumn("host_rank", F.row_number().over(w))
+        .where(F.col("host_rank") <= 3)
+        .select("c_nationkey", "c_custkey", "host_rank")
+    )
+
+
+def q_s6_unprocessed_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6/J1: anti-join unprocessed scan, newest first, LIMIT."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.where(F.col("o_totalprice") > 0)
+        .join(li.select(F.col("l_orderkey").alias("o_orderkey")), "o_orderkey", "left_anti")
+        .orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", F.unix_timestamp("o_orderdate").alias("odate_epoch"))
+    )
+
+
+def q_j2_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: left-semi — customers having an open order."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "O")
+    return c.join(
+        o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+def q_s5_cascade_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5: cascade-delete set — chunks (lineitems) of dead pages (F orders)."""
+    li = _t(spark, sf_dir, "lineitem")
+    dead = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    return (
+        li.join(dead.select(F.col("o_orderkey").alias("l_orderkey")), "l_orderkey", "left_semi")
+        .groupBy("l_orderkey")
+        .agg(F.count("*").alias("chunks_deleted"))
+    )
+
+
+def q_a1_pending_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: pending count among a key set."""
+    e = _t(spark, sf_dir, "events")
+    return e.where(
+        (F.col("event_type") == "view") & (F.col("user_id") % 10 == 3)
+    ).agg(F.count("*").alias("pending_count"))
+
+
+def q_a3_stats_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/S13: single-pass conditional counts + distinct + pct."""
+    e = _t(spark, sf_dir, "events")
+    return e.agg(
+        F.count("*").alias("total_events"),
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("clicks"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("errors"),
+        F.countDistinct("user_id").alias("distinct_users"),
+        F.round(
+            F.count(F.when(F.col("event_type") == "click", 1)) * 100.0 / F.count("*"), 4
+        ).alias("click_pct"),
+    )
+
+
+def q_a4_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: bucketed length histogram over documents."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = (F.floor(F.col("n_chars") / 100) * 100).cast("long")
+    return (
+        d.groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").alias("n_docs"), F.min("n_chars").alias("min_chars"), F.max("n_chars").alias("max_chars"))
+    )
+
+
+def q_a5_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: per-source length distribution stats."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+def q_a6_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: per-group distinct count."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("distinct_users")
+    )
+
+
+def q_w3_largest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: largest-docs top-k by content length."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.orderBy(F.desc(F.length("text")), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", F.length("text").alias("text_len"))
+    )
+
+
+def q_w4_vector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: exact cosine top-k (query = embedding of vec_id 0)."""
+    from mcp_crawl4ai_rag_spark.functions.embedding import cosine_sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return (
+        emb.withColumn("sim", cosine_sim(F.col("embedding"), [float(x) for x in qvec]))
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(20)
+        .select("vec_id", F.round("sim", 6).alias("similarity"))
+    )
+
+
+def q_w5_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5: ILIKE keyword search, url DESC order."""
+    d = _t(spark, sf_dir, "documents")
+    url = _doc_url(F.col("source"), F.col("doc_id"))
+    return (
+        d.withColumn("url", url)
+        .where(F.lower(F.col("text")).contains("batch"))
+        .orderBy(F.desc("url"))
+        .limit(25)
+        .select("doc_id", "url")
+    )
+
+
+def q_j4_hybrid_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: tiered hybrid merge of vector and keyword hits."""
+    from mcp_crawl4ai_rag_spark.operators.search import (
+        hybrid_merge,
+        keyword_search,
+        vector_topk,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    chunks = d.join(emb, d["doc_id"] == emb["vec_id"]).select(
+        F.col("doc_id").alias("id"),
+        _doc_url(F.col("source"), F.col("doc_id")).alias("url"),
+        F.col("text").alias("content"),
+        "embedding",
+    )
+    v = vector_topk(chunks, [float(x) for x in qvec], k=20, id_col="id")
+    kw = keyword_search(chunks, "batch", k=20, id_col="id")
+    return hybrid_merge(v, kw, k=15, id_col="id").select(
+        "id", "url", F.round("similarity", 6).alias("similarity"), "tier"
+    )
+
+
+def q_w6_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6: LIMIT/OFFSET pagination via row_number."""
+    from mcp_crawl4ai_rag_spark.operators.search import paginate
+
+    o = _t(spark, sf_dir, "orders")
+    return paginate(
+        o, [F.desc("o_totalprice"), F.asc("o_orderkey")], limit=20, offset=40
+    ).select("o_orderkey", "o_totalprice")
+
+
+def q_s9_url_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9: ordered url scan."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(_doc_url(F.col("source"), F.col("doc_id")).alias("url"))
+        .orderBy("url")
+    )
+
+
+def q_so4_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SO4: except-all set difference."""
+    o = _t(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k"))
+    li = _t(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("k"))
+    return o.exceptAll(li)
+
+
+def q_p1_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: the engine's pandas-UDF canonicalizer on constructed URLs."""
+    from mcp_crawl4ai_rag_spark.functions.urls import canonicalize_url
+
+    return _candidate_urls(spark, sf_dir).select(
+        "key", canonicalize_url(F.col("raw_url")).alias("canon_url")
+    )
+
+
+def q_p2_malformed_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: malformed-URL rejection (Column predicate)."""
+    from mcp_crawl4ai_rag_spark.functions.urls import is_malformed
+
+    return (
+        _malformed_pool(spark, sf_dir)
+        .where(~is_malformed(F.col("url")))
+        .select("key", "url")
+    )
+
+
+def q_p10_url_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10: URL-kind routing counts."""
+    from mcp_crawl4ai_rag_spark.functions.urls import url_kind
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    url = (
+        F.when(k % 3 == 0, F.concat(F.lit("https://developer.apple.com/documentation/a/"), k.cast("string")))
+        .when(k % 3 == 1, F.concat(F.lit("https://www.youtube.com/watch?v="), k.cast("string")))
+        .otherwise(F.concat(F.lit("https://other.example.com/"), k.cast("string")))
+    )
+    return (
+        o.select(url_kind(url).alias("kind"))
+        .groupBy("kind")
+        .agg(F.count("*").alias("n_urls"))
+    )
+
+
+def q_p4_error_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: permanent-error classification over synthesized statuses."""
+    from mcp_crawl4ai_rag_spark.functions.urls import is_permanent_error
+
+    e = _t(spark, sf_dir, "events")
+    status = (
+        F.when(F.col("event_type") == "error", F.lit(404))
+        .when(F.col("event_type") == "signup", F.lit(410))
+        .when(F.col("event_type") == "view", F.lit(500))
+        .otherwise(F.lit(200))
+    )
+    content = F.when(
+        F.col("value") > 0.9, F.lit("page text An unknown error occurred. tail")
+    ).otherwise(F.col("props"))
+    return (
+        e.select(
+            F.col("event_id"),
+            is_permanent_error(status, content).alias("is_dead"),
+        )
+        .groupBy("is_dead")
+        .agg(F.count("*").alias("n_pages"))
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: normalized-text fingerprint groups (all groups, count)."""
+    from mcp_crawl4ai_rag_spark.functions.text import fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(fingerprint(F.col("text")).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_id"))
+    )
+
+
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace tokens + char stats)."""
+    from mcp_crawl4ai_rag_spark.functions.text import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").alias("n_chars_computed"),
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring components (ratios rounded)."""
+    from mcp_crawl4ai_rag_spark.functions.text import (
+        punct_ratio,
+        quality_score,
+        stopword_ratio,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.round(punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(F.col("text")), 6).alias("stopword_ratio"),
+        F.round(quality_score(F.col("text")), 2).alias("quality"),
+    )
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic distribution."""
+    from mcp_crawl4ai_rag_spark.functions.text import lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy(lang_id(F.col("text")).alias("lang_guess")).agg(
+        F.count("*").alias("n_docs")
+    )
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (md5 of normalized text)."""
+    from mcp_crawl4ai_rag_spark.functions.text import fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+def q_sim_topk_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force ANN: top-3 per label group by cosine to the query vec."""
+    from mcp_crawl4ai_rag_spark.functions.embedding import cosine_sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    w = Window.partitionBy("label").orderBy(F.desc("sim_raw"), F.asc("vec_id"))
+    return (
+        emb.withColumn(
+            "sim_raw", cosine_sim(F.col("embedding"), [float(x) for x in qvec])
+        )
+        .withColumn("rank_in_label", F.row_number().over(w))
+        .where(F.col("rank_in_label") <= 3)
+        .select(
+            "label",
+            "vec_id",
+            F.round("sim_raw", 6).alias("similarity"),
+            "rank_in_label",
+        )
+    )
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed aggregation over the events stream table."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+# --- rows-only queries (no SQL twin; pytest covers parity) -----------------
+
+def q_c1_smart_chunker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mcp_crawl4ai_rag_spark.functions.chunking import chunk_documents
+
+    d = _t(spark, sf_dir, "documents").select(
+        _doc_url(F.col("source"), F.col("doc_id")).alias("url"),
+        F.col("text").alias("content"),
+    )
+    return chunk_documents(d).select(
+        "url", "chunk_index", F.length("chunk_json").alias("chunk_json_len")
+    )
+
+
+def q_c3_media_chunker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mcp_crawl4ai_rag_spark.functions.chunking import chunk_media_documents
+
+    d = _t(spark, sf_dir, "documents").select(
+        _doc_url(F.col("source"), F.col("doc_id")).alias("url"),
+        F.col("source").alias("title"),
+        F.col("text").alias("content"),
+    )
+    return chunk_media_documents(d).select(
+        "url", "chunk_index", F.length("chunk_json").alias("chunk_json_len")
+    )
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mcp_crawl4ai_rag_spark.operators.dedup import near_duplicates_minhash
+
+    d = _t(spark, sf_dir, "documents")
+    return near_duplicates_minhash(
+        d, "text", "doc_id", threshold=0.5, num_perm=32, bands=8, shingle_k=3
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mcp_crawl4ai_rag_spark.operators.dedup import simhash_near_duplicates
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_near_duplicates(d, "text", "doc_id", max_hamming=6)
+
+
+def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mcp_crawl4ai_rag_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = (
+        emb.where(F.col("vec_id") < 5)
+        .select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+    )
+    return ivf_topk(emb, queries, k=5, nlist=8, nprobe=3).select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mcp_crawl4ai_rag_spark.operators.multimodal import decode_media
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(F.lit("media://doc/"), F.col("doc_id").cast("string")).alias("media_ref"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("image")).otherwise(F.lit("video")).alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.create_map(F.lit("lang"), F.col("lang")).alias("meta"),
+    )
+    return decode_media(media).select(
+        "doc_id", "media_ref", "kind", "width", "height", "n_frames"
+    )
+
+
+def q_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mcp_crawl4ai_rag_spark.functions.embedding import make_hash_embed_udf
+
+    d = _t(spark, sf_dir, "documents")
+    emb = make_hash_embed_udf(16)
+    return d.select(
+        "doc_id",
+        F.round(
+            F.aggregate(
+                F.transform(emb(F.col("text")), lambda v: v.cast("double") * v.cast("double")),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            ),
+            4,
+        ).alias("embed_norm_sq"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: RAG hybrid search over chunked+embedded sf0.001 documents —
+    chunk (C1) → hash-embed → vector top-k (W4) ∪ keyword (W5) → tiered
+    hybrid merge (J4)."""
+    from mcp_crawl4ai_rag_spark.functions.chunking import chunk_documents
+    from mcp_crawl4ai_rag_spark.functions.embedding import (
+        embed_query_py,
+        make_hash_embed_udf,
+    )
+    from mcp_crawl4ai_rag_spark.operators.search import (
+        hybrid_merge,
+        keyword_search,
+        vector_topk,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = _t(spark, sf_dir, "documents").select(
+        _doc_url(F.col("source"), F.col("doc_id")).alias("url"),
+        F.col("text").alias("content"),
+    )
+    emb = make_hash_embed_udf(32)
+    chunks = (
+        chunk_documents(docs)
+        .withColumn("embedding", emb(F.col("chunk_json")))
+        .withColumn(
+            "id", F.xxhash64(F.col("url"), F.col("chunk_index"))
+        )
+    )
+    qvec = embed_query_py("batch vector stream", 32)
+    v = vector_topk(chunks, qvec, k=20, id_col="id")
+    kw = keyword_search(chunks, "batch", k=20, id_col="id")
+    return hybrid_merge(v, kw, k=10, id_col="id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "s2_dedup_insert": q_s2_dedup_insert,
+        "s3_frontier_pop": q_s3_frontier_pop,
+        "w1_per_host_budget": q_w1_per_host_budget,
+        "s6_unprocessed_scan": q_s6_unprocessed_scan,
+        "j2_semi_join": q_j2_semi_join,
+        "s5_cascade_delete": q_s5_cascade_delete,
+        "a1_pending_count": q_a1_pending_count,
+        "a3_stats_rollup": q_a3_stats_rollup,
+        "a4_histogram": q_a4_histogram,
+        "a5_length_stats": q_a5_length_stats,
+        "a6_distinct_count": q_a6_distinct_count,
+        "w3_largest_docs": q_w3_largest_docs,
+        "w4_vector_topk": q_w4_vector_topk,
+        "w5_keyword_search": q_w5_keyword_search,
+        "j4_hybrid_merge": q_j4_hybrid_merge,
+        "w6_pagination": q_w6_pagination,
+        "s9_url_scan": q_s9_url_scan,
+        "so4_except_all": q_so4_except_all,
+        "p1_canonicalize": q_p1_canonicalize,
+        "p2_malformed_filter": q_p2_malformed_filter,
+        "p10_url_router": q_p10_url_router,
+        "p4_error_split": q_p4_error_split,
+        "dedup_exact": q_dedup_exact,
+        "text_tokens": q_text_tokens,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "text_fingerprint": q_text_fingerprint,
+        "sim_topk_per_label": q_sim_topk_per_label,
+        "events_hourly": q_events_hourly,
+        # rows-only (non-SQL-expressible): chunkers, LSH, IVF, multimodal
+        "c1_smart_chunker": q_c1_smart_chunker,
+        "c3_media_chunker": q_c3_media_chunker,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "ivf_ann": q_ivf_ann,
+        "multimodal_decode": q_multimodal_decode,
+        "hash_embed": q_hash_embed,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_STOP = r"\b(the|and|of|to|in|is|that|for|with|was|are)\b"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "s2_dedup_insert": """
+            SELECT DISTINCT l_orderkey AS url_key FROM lineitem
+            WHERE l_orderkey NOT IN
+                  (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+        """,
+        "s3_frontier_pop": """
+            SELECT event_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_epoch FROM events
+            WHERE event_type = 'view' ORDER BY ts, event_id LIMIT 50
+        """,
+        "w1_per_host_budget": """
+            SELECT c_nationkey, c_custkey, host_rank FROM (
+              SELECT c_nationkey, c_custkey,
+                     row_number() OVER (PARTITION BY c_nationkey
+                                        ORDER BY c_acctbal DESC, c_custkey) AS host_rank
+              FROM customer) t
+            WHERE host_rank <= 3
+        """,
+        "s6_unprocessed_scan": """
+            SELECT o_orderkey, CAST(epoch(o_orderdate) AS BIGINT) AS odate_epoch
+            FROM orders o
+            WHERE o_totalprice > 0
+              AND NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+            ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 100
+        """,
+        "j2_semi_join": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+        """,
+        "s5_cascade_delete": """
+            SELECT l_orderkey, COUNT(*) AS chunks_deleted FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+            GROUP BY l_orderkey
+        """,
+        "a1_pending_count": """
+            SELECT COUNT(*) AS pending_count FROM events
+            WHERE event_type = 'view' AND user_id % 10 = 3
+        """,
+        "a3_stats_rollup": """
+            SELECT COUNT(*) AS total_events,
+                   COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS clicks,
+                   COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS errors,
+                   COUNT(DISTINCT user_id) AS distinct_users,
+                   ROUND(COUNT(CASE WHEN event_type = 'click' THEN 1 END) * 100.0
+                         / COUNT(*), 4) AS click_pct
+            FROM events
+        """,
+        "a4_histogram": """
+            SELECT CAST(FLOOR(n_chars / 100) * 100 AS BIGINT) AS bucket,
+                   COUNT(*) AS n_docs, MIN(n_chars) AS min_chars,
+                   MAX(n_chars) AS max_chars
+            FROM documents GROUP BY 1
+        """,
+        "a5_length_stats": """
+            SELECT source, COUNT(*) AS n_docs, MIN(n_chars) AS min_chars,
+                   MAX(n_chars) AS max_chars,
+                   ROUND(AVG(n_chars), 4) AS avg_chars,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY source
+        """,
+        "a6_distinct_count": """
+            SELECT event_type, COUNT(DISTINCT user_id) AS distinct_users
+            FROM events GROUP BY event_type
+        """,
+        "w3_largest_docs": """
+            SELECT doc_id, LENGTH(text) AS text_len FROM documents
+            ORDER BY LENGTH(text) DESC, doc_id LIMIT 10
+        """,
+        "w4_vector_topk": """
+            SELECT vec_id, ROUND(sim, 6) AS similarity FROM (
+              SELECT vec_id,
+                     list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                       (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) AS sim
+              FROM embeddings) t
+            ORDER BY sim DESC, vec_id LIMIT 20
+        """,
+        "w5_keyword_search": """
+            SELECT doc_id, source || '/' || CAST(doc_id AS VARCHAR) AS url
+            FROM documents
+            WHERE LOWER(text) LIKE '%batch%'
+            ORDER BY url DESC LIMIT 25
+        """,
+        "j4_hybrid_merge": """
+            WITH chunks AS (
+              SELECT d.doc_id AS id,
+                     d.source || '/' || CAST(d.doc_id AS VARCHAR) AS url,
+                     d.text AS content, e.embedding
+              FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+            ),
+            v AS (
+              SELECT id, url, content, sim AS similarity,
+                     row_number() OVER (ORDER BY sim DESC, id) AS v_rank
+              FROM (SELECT *, list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                       (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) AS sim
+                    FROM chunks)
+              ORDER BY sim DESC, id LIMIT 20
+            ),
+            kw AS (
+              SELECT id, url, content,
+                     row_number() OVER (ORDER BY url DESC, id) AS k_rank
+              FROM chunks WHERE LOWER(content) LIKE '%batch%'
+              ORDER BY url DESC, id LIMIT 20
+            ),
+            merged AS (
+              SELECT COALESCE(v.id, kw.id) AS id,
+                     COALESCE(v.url, kw.url) AS url,
+                     CASE WHEN v.id IS NOT NULL AND kw.id IS NOT NULL
+                            THEN LEAST(1.0, v.similarity * 1.2)
+                          WHEN v.id IS NOT NULL THEN v.similarity
+                          ELSE 0.5 END AS similarity,
+                     CASE WHEN v.id IS NOT NULL AND kw.id IS NOT NULL THEN 0
+                          WHEN v.id IS NOT NULL THEN 1 ELSE 2 END AS tier,
+                     COALESCE(kw.k_rank, 0) AS k_rank,
+                     COALESCE(v.v_rank, 0) AS v_rank
+              FROM v FULL OUTER JOIN kw ON v.id = kw.id
+            )
+            SELECT id, url, ROUND(similarity, 6) AS similarity, tier FROM merged
+            ORDER BY tier, CASE WHEN tier = 1 THEN v_rank ELSE k_rank END
+            LIMIT 15
+        """,
+        "w6_pagination": """
+            SELECT o_orderkey, o_totalprice FROM (
+              SELECT o_orderkey, o_totalprice,
+                     row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
+              FROM orders) t
+            WHERE rn > 40 AND rn <= 60
+        """,
+        "s9_url_scan": """
+            SELECT source || '/' || CAST(doc_id AS VARCHAR) AS url
+            FROM documents ORDER BY url
+        """,
+        "so4_except_all": """
+            SELECT o_orderkey AS k FROM orders
+            EXCEPT ALL
+            SELECT l_orderkey AS k FROM lineitem
+        """,
+        "p1_canonicalize": f"""
+            WITH cand AS ({_CANDIDATE_URLS_SQL})
+            SELECT key,
+                   'https://docs.example.com/documentation/' || CAST(key AS VARCHAR)
+                   AS canon_url
+            FROM cand
+        """,
+        "p2_malformed_filter": f"""
+            WITH pool AS ({_MALFORMED_POOL_SQL})
+            SELECT key, url FROM pool
+            WHERE NOT (
+              (LENGTH(url) - LENGTH(REPLACE(url, 'https://', ''))) / 8 > 1
+              OR (LENGTH(url) - LENGTH(REPLACE(url, 'http://', ''))) / 7 > 1
+              OR url LIKE '%\\%ef\\%bb\\%bf%' ESCAPE '\\'
+              OR (LENGTH(url) - LENGTH(REPLACE(url, '/documentation/', ''))) / 15 > 1
+              OR LENGTH(url) > 200
+              OR (LENGTH(url) - LENGTH(REPLACE(url, 'developer.apple.com', ''))) / 19 > 1
+            )
+        """,
+        "p10_url_router": """
+            SELECT kind, COUNT(*) AS n_urls FROM (
+              SELECT CASE o_orderkey % 3
+                       WHEN 0 THEN 'web'
+                       WHEN 1 THEN 'media'
+                       ELSE 'other' END AS kind
+              FROM orders) t
+            GROUP BY kind
+        """,
+        "p4_error_split": """
+            SELECT is_dead, COUNT(*) AS n_pages FROM (
+              SELECT CASE
+                WHEN event_type IN ('error', 'signup') THEN TRUE
+                WHEN event_type = 'view' THEN FALSE
+                WHEN value > 0.9 THEN TRUE
+                ELSE FALSE END AS is_dead
+              FROM events) t
+            GROUP BY is_dead
+        """,
+        "dedup_exact": r"""
+            SELECT md5(regexp_replace(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS fp,
+                   COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+            FROM documents GROUP BY 1
+        """,
+        "text_tokens": r"""
+            SELECT doc_id,
+                   CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                        ELSE LENGTH(string_split_regex(TRIM(text), '\s+')) END AS n_tokens,
+                   LENGTH(text) AS n_chars_computed
+            FROM documents
+        """,
+        "text_quality": rf"""
+            SELECT doc_id,
+                   ROUND(CASE WHEN LENGTH(text) = 0 THEN 0.0
+                     ELSE LENGTH(regexp_extract_all(text, '[.,;:!?]'))
+                          / CAST(LENGTH(text) AS DOUBLE) END, 6) AS punct_ratio,
+                   ROUND(CASE WHEN ntok = 0 THEN 0.0
+                     ELSE nstop / CAST(ntok AS DOUBLE) END, 6) AS stopword_ratio,
+                   ROUND(
+                     (CASE WHEN LENGTH(text) BETWEEN 200 AND 50000 THEN 1 ELSE 0 END) * 0.25
+                   + (CASE WHEN ntok > 0 AND nstop / CAST(ntok AS DOUBLE) >= 0.05
+                        THEN 1 ELSE 0 END) * 0.25
+                   + (CASE WHEN LENGTH(text) > 0
+                             AND LENGTH(regexp_extract_all(text, '[.,;:!?]'))
+                                 / CAST(LENGTH(text) AS DOUBLE) BETWEEN 0.001 AND 0.2
+                        THEN 1 ELSE 0 END) * 0.25
+                   + (CASE WHEN ntok > 0
+                             AND LENGTH(regexp_replace(text, '\s+', '', 'g'))
+                                 / CAST(ntok AS DOUBLE) BETWEEN 2.0 AND 12.0
+                        THEN 1 ELSE 0 END) * 0.25, 2) AS quality
+            FROM (
+              SELECT doc_id, text,
+                     CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                          ELSE LENGTH(string_split_regex(TRIM(text), '\s+')) END AS ntok,
+                     LENGTH(regexp_extract_all(LOWER(text), '{_STOP}')) AS nstop
+              FROM documents) t
+        """,
+        "text_langid": rf"""
+            SELECT CASE WHEN ntok > 0 AND nstop / CAST(ntok AS DOUBLE) >= 0.08
+                        THEN 'en' ELSE 'other' END AS lang_guess,
+                   COUNT(*) AS n_docs
+            FROM (
+              SELECT CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                          ELSE LENGTH(string_split_regex(TRIM(text), '\s+')) END AS ntok,
+                     LENGTH(regexp_extract_all(LOWER(text), '{_STOP}')) AS nstop
+              FROM documents) t
+            GROUP BY 1
+        """,
+        "text_fingerprint": r"""
+            SELECT doc_id,
+                   md5(regexp_replace(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS fp
+            FROM documents
+        """,
+        "sim_topk_per_label": """
+            SELECT label, vec_id, ROUND(sim_raw, 6) AS similarity, rank_in_label
+            FROM (
+              SELECT label, vec_id, sim_raw,
+                     row_number() OVER (PARTITION BY label
+                                        ORDER BY sim_raw DESC, vec_id) AS rank_in_label
+              FROM (SELECT label, vec_id,
+                           list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                             (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                              WHERE vec_id = 0)) AS sim_raw
+                    FROM embeddings) s) t
+            WHERE rank_in_label <= 3
+        """,
+        "events_hourly": """
+            SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+                   event_type, COUNT(*) AS n_events,
+                   ROUND(SUM(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+    }

@@ -1,0 +1,219 @@
+"""Benchmark driver.
+
+Headline (BASELINE.json north metric): **URLs scheduled+deduped per
+second** through the full frontier-admission pipeline on a synthetic
+candidate stream with hot-host skew:
+
+  raw candidate URLs (variants + malformed injections, ~50% already seen)
+  → canonicalize (vectorized pandas UDF)
+  → malformed filter (Column predicates)
+  → robots broadcast join (longest-prefix)
+  → bloom prefilter + exact anti-join vs the seen set
+  → per-host politeness window rank + global top-k pop
+
+Prints ONE JSON line:
+  {"metric": "urls_scheduled_deduped_per_sec", "value": <urls/sec>,
+   "unit": "urls/sec", "queries": {name: sec, ...}, "sf": <sf>, ...}
+
+Scale knobs: candidates = SPARK_GRAFT_BENCH_URLS (default 20M × sf),
+cores = SPARK_GRAFT_CPUS (local[N]). scripts/scaling_bench.py runs the
+same pipeline at two parallelism levels for the scaling-efficiency
+criterion.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def synth_candidates(spark: SparkSession, n: int, first_id: int) -> DataFrame:
+    """Deterministic raw candidate URLs, JVM-only generation.
+
+    ~50% on one hot host (skew), ~4% malformed, canonicalization variants
+    (trailing slash / query / fragment / uppercase) on the rest.
+    """
+    ids = spark.range(first_id, first_id + n).withColumn(
+        "h", F.xxhash64("id")
+    )
+    host = F.when(
+        F.pmod(F.col("h"), 2) == 0, F.lit("hot.example.com")
+    ).otherwise(F.concat(F.lit("h"), F.pmod(F.col("h"), 97), F.lit(".example.org")))
+    base = F.concat(
+        F.lit("https://"), host, F.lit("/documentation/w/"), F.col("id").cast("string")
+    )
+    variant = (
+        F.when(F.pmod(F.col("h"), 23) == 0, F.concat(base, base))  # malformed dup
+        .when(F.pmod(F.col("h"), 7) == 1, F.concat(base, F.lit("/")))
+        .when(F.pmod(F.col("h"), 7) == 2, F.concat(base, F.lit("?session=9&x=1")))
+        .when(F.pmod(F.col("h"), 7) == 3, F.concat(base, F.lit("#fragment")))
+        .when(
+            F.pmod(F.col("h"), 7) == 4,
+            F.concat(
+                F.lit("HTTPS://"), F.upper(host), F.lit("/documentation/w/"),
+                F.col("id").cast("string"),
+            ),
+        )
+        .otherwise(base)
+    )
+    return ids.select(F.col("id"), variant.alias("href"))
+
+
+def seen_set(spark: SparkSession, m: int) -> DataFrame:
+    """Canonical seen URLs for ids [0, m) — same shape as candidates."""
+    ids = spark.range(0, m).withColumn("h", F.xxhash64("id"))
+    host = F.when(
+        F.pmod(F.col("h"), 2) == 0, F.lit("hot.example.com")
+    ).otherwise(F.concat(F.lit("h"), F.pmod(F.col("h"), 97), F.lit(".example.org")))
+    return ids.select(
+        F.concat(
+            F.lit("https://"), host, F.lit("/documentation/w/"),
+            F.col("id").cast("string"),
+        ).alias("url")
+    )
+
+
+def run_schedule_bench(
+    spark: SparkSession,
+    n_candidates: int,
+    n_seen: int,
+    batch_size: int = 10_000,
+    use_bloom: bool = True,
+) -> dict:
+    from mcp_crawl4ai_rag_spark.functions.urls import canonicalize_url, is_malformed
+    from mcp_crawl4ai_rag_spark.operators.dedup import build_bloom, new_urls
+    from mcp_crawl4ai_rag_spark.operators.politeness import (
+        budgeted_pop,
+        robots_allowed,
+        with_host_and_path,
+    )
+
+    # --- setup (not part of the timed pipeline: amortized engine state) ---
+    t0 = time.time()
+    seen = seen_set(spark, n_seen).cache()
+    seen.count()
+    bloom = None
+    if use_bloom:
+        # ~16 bits/key (k=7 → FP well under 0.1%), power of two, bounded
+        bits = 1 << max(20, min(28, (16 * n_seen).bit_length()))
+        bloom = build_bloom(
+            seen.select(F.xxhash64("url").alias("k")), "k", num_bits=bits
+        )
+    robots = spark.createDataFrame(
+        [("hot.example.com", "disallow", "/private/", 0.0)]
+        + [("hot.example.com", "allow", "/", 0.0)],
+        "host string, rule_type string, path_prefix string, crawl_delay double",
+    )
+    hosts = spark.createDataFrame(
+        [("hot.example.com", 100_000.0, 100_000.0)],
+        "host string, capacity double, refill_rate double",
+    ).withColumn("tokens", F.col("capacity"))
+    setup_sec = time.time() - t0
+
+    # --- timed: the admission pipeline, staged like the real engine ------
+    # Each phase is ONE single-scan action; phase outputs land in parquet
+    # snapshot dirs (the engine's frontier/documents tables do the same),
+    # so no executor-memory caching and no lazy recompute distort scaling.
+    import shutil
+    import tempfile
+
+    stage_dir = tempfile.mkdtemp(prefix="bench-", dir="/dev/shm" if os.path.isdir("/dev/shm") else None)
+    try:
+        t1 = time.time()
+        # phase 1: canonicalize + malformed + robots → candidates snapshot
+        cands = synth_candidates(spark, n_candidates, first_id=n_seen // 2)
+        canon = (
+            cands.withColumn("url", canonicalize_url(F.col("href")))
+            .where(~is_malformed(F.col("url")))
+            .drop("href")
+        )
+        allowed = robots_allowed(with_host_and_path(canon), robots)
+        allowed.write.mode("overwrite").parquet(f"{stage_dir}/candidates")
+        t_canon = time.time() - t1
+
+        # phase 2: bloom-prefiltered dedup vs seen → admitted snapshot
+        t2 = time.time()
+        cand_stored = spark.read.parquet(f"{stage_dir}/candidates")
+        fresh = new_urls(cand_stored, seen, bloom=bloom, spark=spark)
+        fresh.select(
+            "url", "host", F.lit(0).alias("priority"), F.col("id").alias("seq")
+        ).write.mode("overwrite").parquet(f"{stage_dir}/admitted")
+        t_dedup = time.time() - t2
+
+        # phase 3: politeness-budgeted pop from the stored frontier
+        t3 = time.time()
+        pending = spark.read.parquet(f"{stage_dir}/admitted")
+        n_popped = budgeted_pop(pending, hosts, batch_size).count()
+        n_admitted = pending.count()
+        t_pop = time.time() - t3
+
+        pipeline_sec = time.time() - t1
+    finally:
+        shutil.rmtree(stage_dir, ignore_errors=True)
+
+    return {
+        "n_candidates": n_candidates,
+        "n_seen": n_seen,
+        "n_admitted": n_admitted,
+        "n_popped": n_popped,
+        "setup_sec": round(setup_sec, 3),
+        "canon_sec": round(t_canon, 3),
+        "dedup_sec": round(t_dedup, 3),
+        "pop_sec": round(t_pop, 3),
+        "pipeline_sec": round(pipeline_sec, 3),
+        "urls_per_sec": round(n_candidates / pipeline_sec, 1),
+    }
+
+
+def time_queries(spark: SparkSession, sf_dir: str) -> dict:
+    import __spark_entry__ as entrymod
+
+    out = {}
+    for name, fn in entrymod.queries().items():
+        t = time.time()
+        fn(spark, sf_dir).count()
+        out[name] = round(time.time() - t, 3)
+    return out
+
+
+def main() -> None:
+    from mcp_crawl4ai_rag_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    n_candidates = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", int(20_000_000 * sf)))
+    n_seen = n_candidates // 2
+    pipeline_only = "--pipeline-only" in sys.argv
+
+    spark = get_spark(
+        app_name="bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus * 2,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sched = run_schedule_bench(spark, n_candidates, n_seen)
+    queries = {} if pipeline_only else time_queries(spark, sf_dir)
+
+    result = {
+        "metric": "urls_scheduled_deduped_per_sec",
+        "value": sched["urls_per_sec"],
+        "unit": "urls/sec",
+        "queries": queries,
+        "sf": sf,
+        "cpus": cpus,
+        **sched,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -133,13 +133,27 @@ def build_bloom(df: DataFrame, key_col: str, num_bits: int = 1 << 23, num_hashes
     return out
 
 
+_WORKER_BLOOM_CACHE: dict = {}
+
+
 def make_bloom_contains_udf(spark, bloom: BloomFilter):
-    """Broadcast the bitmap; return a pandas UDF Column predicate."""
+    """Broadcast the bitmap; return a pandas UDF Column predicate.
+
+    The deserialized filter is memoized per (worker process, broadcast id)
+    so the bitmap copy happens once per worker, not once per Arrow batch.
+    """
+    import uuid
+
     b = spark.sparkContext.broadcast((bloom.to_bytes(), bloom.num_hashes))
+    cache_key = uuid.uuid4().hex  # closure constant identifying this filter
 
     @pandas_udf(BooleanType())
     def might_contain(keys: pd.Series) -> pd.Series:
-        bf = BloomFilter.from_bytes(b.value[0], b.value[1])
+        bf = _WORKER_BLOOM_CACHE.get(cache_key)
+        if bf is None:
+            bf = BloomFilter.from_bytes(b.value[0], b.value[1])
+            _WORKER_BLOOM_CACHE.clear()  # at most one live filter per worker
+            _WORKER_BLOOM_CACHE[cache_key] = bf
         return pd.Series(bf.contains_many(keys.to_numpy(dtype=np.int64)))
 
     return might_contain

@@ -38,31 +38,45 @@ def with_host_and_path(df: DataFrame, url_col: str = "url") -> DataFrame:
 def robots_allowed(df: DataFrame, robots: DataFrame, url_col: str = "url") -> DataFrame:
     """Keep rows whose URL passes robots evaluation.
 
-    df must carry unique ``url_col`` values and host/path columns (use
-    with_host_and_path). robots: (host, rule_type, path_prefix, crawl_delay)
-    — assumed small → broadcast. Longest-prefix match; tie behavior is
-    undefined (rule tables must not carry equal-length conflicting prefixes).
+    df must carry host/path columns (use with_host_and_path). robots:
+    (host, rule_type, path_prefix, crawl_delay) — small → broadcast.
+    Longest path-prefix match wins; no matching rule ⇒ allow; equal-length
+    conflicts resolve to allow (rule tables should not carry them).
+
+    Shuffle-free: rules collapse to one array per host (tiny), broadcast
+    hash join, then a per-row array fold picks the longest match — no
+    window, no repartition, stays in whole-stage codegen except the
+    broadcast build.
     """
-    r = F.broadcast(
-        robots.select(
-            F.col("host").alias("r_host"),
-            F.col("rule_type").alias("r_type"),
-            F.col("path_prefix").alias("r_prefix"),
+    rules_by_host = F.broadcast(
+        robots.groupBy("host").agg(
+            F.collect_list(
+                F.struct(
+                    F.col("path_prefix").alias("prefix"),
+                    F.col("rule_type").alias("rtype"),
+                )
+            ).alias("__rules")
         )
     )
-    joined = df.join(r, df["host"] == r["r_host"], "left").withColumn(
-        "__mlen",
-        F.when(
-            F.col("r_prefix").isNotNull() & F.col("path").startswith(F.col("r_prefix")),
-            F.length("r_prefix"),
-        ).otherwise(F.lit(-1)),
+    joined = df.join(rules_by_host, "host", "left")
+    matches = F.filter(
+        F.transform(
+            F.col("__rules"),
+            lambda r: F.when(
+                F.col("path").startswith(r["prefix"]),
+                F.struct(
+                    F.length(r["prefix"]).alias("len"),
+                    (r["rtype"] == "allow").alias("allow"),
+                ),
+            ),
+        ),
+        lambda m: m.isNotNull(),
     )
-    w = Window.partitionBy(url_col).orderBy(F.desc("__mlen"))
+    best = F.array_max(matches)
     return (
-        joined.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .where((F.col("__mlen") == -1) | (F.col("r_type") == "allow"))
-        .drop("r_host", "r_type", "r_prefix", "__mlen", "__rn")
+        joined.withColumn("__best", best)
+        .where(F.col("__rules").isNull() | F.col("__best").isNull() | F.col("__best")["allow"])
+        .drop("__rules", "__best")
     )
 
 
@@ -87,7 +101,10 @@ def charge_hosts(hosts: DataFrame, popped_counts: DataFrame) -> DataFrame:
 
 
 def budgeted_pop(
-    pending: DataFrame, hosts: DataFrame, batch_size: int
+    pending: DataFrame,
+    hosts: DataFrame,
+    batch_size: int,
+    salt_buckets: int = 16,
 ) -> DataFrame:
     """W1: the frontier pop. Per-host window rank bounded by the token
     budget, then global (priority DESC, seq ASC) top-``batch_size``.
@@ -96,17 +113,36 @@ def budgeted_pop(
     LIMIT n FOR UPDATE SKIP LOCKED`` (operations.py:61-83); the window-ranked
     snapshot IS the priority heap. Emits pop_rank (1-based pop order).
 
-    Scale: the per-host window shuffles by host — the same partitioning the
-    fetch stage wants; skewed hot hosts are bounded by their budget, so the
-    post-filter global top-k is small (TakeOrderedAndProject, no full sort).
+    Skew handling (the hot-host problem): a naive per-host window puts a
+    host holding 50% of the frontier into ONE task. Instead, a salted
+    pre-prune ranks within (host, xxhash64(url)%salt_buckets) and keeps
+    only each bucket's top min(budget, batch_size) rows — provably a
+    superset of every row the exact pop can emit (any popped row has true
+    host-rank <= min(budget, batch_size), and a row's bucket-rank is <= its
+    host-rank) — then the exact per-host window runs on <= salt_buckets *
+    min(budget, batch_size) rows per host. Result is identical to the
+    unpruned pop (verified against the sequential oracle in
+    tests/test_crawl_e2e.py and directly in tests/test_politeness_pop.py).
     """
     budgets = hosts.select(
         "host", F.floor(F.col("tokens")).cast("long").alias("__budget")
     )
+    keep_k = F.least(
+        F.coalesce(F.col("__budget"), F.lit(1 << 62)), F.lit(batch_size)
+    )
+    w_salt = Window.partitionBy("host", "__salt").orderBy(
+        F.desc("priority"), F.asc("seq")
+    )
+    pruned = (
+        pending.join(F.broadcast(budgets), "host", "left")
+        .withColumn("__salt", F.pmod(F.xxhash64("url"), F.lit(salt_buckets)))
+        .withColumn("__srank", F.row_number().over(w_salt))
+        .where(F.col("__srank") <= keep_k)
+        .drop("__salt", "__srank")
+    )
     w_host = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("seq"))
     eligible = (
-        pending.join(F.broadcast(budgets), "host", "left")
-        .withColumn("__hrank", F.row_number().over(w_host))
+        pruned.withColumn("__hrank", F.row_number().over(w_host))
         .where(F.col("__hrank") <= F.coalesce(F.col("__budget"), F.lit(1 << 62)))
         .drop("__budget", "__hrank")
     )

@@ -112,6 +112,36 @@ def hybrid_merge(
     return ordered.limit(k).select("id", "url", "content", "similarity", "tier")
 
 
+def rag_query(
+    chunks: DataFrame,
+    query: str,
+    k: int = 5,
+    hybrid: bool = True,
+    rerank: bool = False,
+    embed_dim: int | None = None,
+    id_col: str = "id",
+) -> DataFrame:
+    """The full RAG query pipeline (perform_rag_query,
+    apple-dev-mcp.py:219-353): embed query (instruction prefix) → vector
+    top-2k [∪ keyword top-2k → tiered merge] → optional rerank → top-k.
+    chunks needs (id, url, content, embedding)."""
+    from mcp_crawl4ai_rag_spark.functions.embedding import embed_query_py
+
+    q = query.strip()
+    first = chunks.select(F.size(F.col("embedding")).alias("d")).first()
+    dim = embed_dim or (first["d"] if first else 64)
+    qvec = embed_query_py(q, dim)
+    v = vector_topk(chunks, qvec, k=k * 2, id_col=id_col)
+    if hybrid:
+        kw = keyword_search(chunks, q, k=k * 2, id_col=id_col)
+        merged = hybrid_merge(v, kw, k=k, id_col=id_col)
+    else:
+        merged = v.limit(k).select(id_col, "url", "content", "similarity")
+    if rerank:
+        merged = rerank_stub(merged, q)
+    return merged
+
+
 def rerank_stub(results: DataFrame, query: str, content_col: str = "content") -> DataFrame:
     """W7: deterministic stand-in for the cross-encoder rerank — a stable
     hash score over (query, content); sort desc (apple-dev-mcp.py:189-192)."""

@@ -65,10 +65,16 @@ class SnapshotTable:
             info = self.current()
             if info is None:
                 raise FileNotFoundError(f"no snapshot in {self.dir}")
-            paths = info.paths
+            m = self._manifest(info.version)
         else:
-            paths = self._manifest(version)["paths"]
-        return spark.read.parquet(*paths)
+            m = self._manifest(version)
+        reader = spark.read
+        # explicit schema: lets empty snapshots (no data files) read back
+        if m.get("schema"):
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(StructType.fromJson(json.loads(m["schema"])))
+        return reader.parquet(*m["paths"])
 
     def commit(
         self,
@@ -107,6 +113,7 @@ class SnapshotTable:
         manifest = {
             "version": new_v,
             "paths": paths,
+            "schema": df.schema.json(),
             "committed_at": time.time(),
             "extra": extra or {},
         }

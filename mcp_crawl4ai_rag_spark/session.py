@@ -18,6 +18,17 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def _local_dir() -> str:
+    """Prefer tmpfs for shuffle/spill files in local mode — measured 2x
+    end-to-end on this container vs the block device (32 concurrent
+    shuffle writers thrash the disk). On a real cluster this is the
+    node-local SSD configured by the cluster manager."""
+    shm = "/dev/shm"
+    if os.path.isdir(shm) and os.access(shm, os.W_OK):
+        return os.path.join(shm, "spark-local")
+    return os.path.join(os.environ.get("TMPDIR", "/tmp"), "spark-local")
+
+
 def get_spark(
     app_name: str = "mcp-crawl4ai-rag-spark",
     master: str | None = None,
@@ -34,10 +45,12 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "50000")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.local.dir", _local_dir())
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

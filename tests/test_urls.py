@@ -26,6 +26,31 @@ CASES = [
 ]
 
 
+def test_canonicalize_batch_kernel_matches_oracle():
+    """The vectorized fast path must equal urlparse semantics exactly,
+    including fallback shapes (params ';', no scheme, scheme-relative)."""
+    import pandas as pd
+
+    from mcp_crawl4ai_rag_spark.functions.urls import canonicalize_batch
+
+    extra = [
+        "https://A.com/P;Params=1?q#f",  # path params → fallback
+        "//scheme.relative/Path/",
+        "not a url at all",
+        "mailto:Someone@Example.com",
+        "https://a.com/Trailing///",
+        "HTTPS://u:P@HOST.com:8080/Path?q=1#f",
+        "https://h.com/%2FEncoded/",
+        "ftp://Weird.com/File",
+        "https://h.com/a//b//",
+        "",
+    ]
+    urls = CASES + extra
+    got = canonicalize_batch(pd.Series(urls)).tolist()
+    want = [U.canonicalize_url_py(u) for u in urls]
+    assert got == want
+
+
 def test_canonicalize_matches_oracle(spark):
     df = spark.createDataFrame([(u,) for u in CASES], ["url"])
     got = [
