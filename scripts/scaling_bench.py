@@ -7,7 +7,7 @@ BENCH/BASELINE.md.
 
 Usage:
     python scripts/scaling_bench.py [n_low] [n_high] [n_urls]
-Defaults: 2 8 8000000 (compute-dominated; ≈90 s at N=2).
+Defaults: 2 8 32000000 (compute-dominated; ≈7 min per N=2 run).
 """
 
 from __future__ import annotations
@@ -51,7 +51,7 @@ def run_level(cpus: int, n_urls: int, repeats: int = 1, pin: bool = True) -> dic
 def main() -> None:
     n_low = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     n_high = int(sys.argv[2]) if len(sys.argv) > 2 else n_low * 4
-    n_urls = int(sys.argv[3]) if len(sys.argv) > 3 else 16_000_000
+    n_urls = int(sys.argv[3]) if len(sys.argv) > 3 else 32_000_000
     assert n_high == n_low * 4, "criterion is N vs 4N"
 
     # interleaved best-of-2 per level
