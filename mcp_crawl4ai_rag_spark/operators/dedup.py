@@ -376,7 +376,7 @@ def minhash_lsh_candidates(
     rows_per_band = num_perm // bands
     sig = df.select(
         F.col(id_col).alias("id"), make_minhash_udf(num_perm, shingle_k)(F.col(text_col)).alias("sig")
-    )
+    ).cache()  # self-joined below: avoid recomputing the signature UDF per side
     banded = sig.select(
         "id",
         F.posexplode(
@@ -445,25 +445,31 @@ def near_duplicates_minhash(
 
 
 def make_simhash_udf(bits: int = 64):
+    shifts = np.arange(bits, dtype=np.uint64)
+
     @pandas_udf("bigint")
     def simhash(texts: pd.Series) -> pd.Series:
+        token_hash_cache: dict[str, int] = {}
         out = []
         for t in texts:
             toks = (t or "").lower().split()
             if not toks:
                 out.append(0)
                 continue
-            acc = np.zeros(bits, dtype=np.int64)
-            for tok in toks:
-                h = int.from_bytes(
-                    hashlib.blake2b(tok.encode(), digest_size=8).digest(), "little"
-                )
-                for i in range(bits):
-                    acc[i] += 1 if (h >> i) & 1 else -1
-            val = 0
-            for i in range(bits):
-                if acc[i] > 0:
-                    val |= 1 << i
+            hs = np.empty(len(toks), dtype=np.uint64)
+            for i, tok in enumerate(toks):
+                h = token_hash_cache.get(tok)
+                if h is None:
+                    h = int.from_bytes(
+                        hashlib.blake2b(tok.encode(), digest_size=8).digest(),
+                        "little",
+                    )
+                    token_hash_cache[tok] = h
+                hs[i] = h
+            # vectorized bit vote: +1 for set bits, -1 for clear bits
+            bitmat = (hs[:, None] >> shifts[None, :]) & np.uint64(1)
+            acc = 2 * bitmat.astype(np.int64).sum(axis=0) - len(toks)
+            val = int(((acc > 0).astype(np.uint64) << shifts).sum())
             out.append(val - (1 << bits) if val >= (1 << (bits - 1)) else val)
         return pd.Series(out)
 
@@ -476,7 +482,9 @@ def simhash_near_duplicates(
     """SimHash near-dup pairs: band the 64-bit hash into 4 × 16-bit blocks
     (pigeonhole: hamming<=3 ⇒ at least one block equal), bucket-join, then
     verify hamming distance with bit ops."""
-    sim = df.select(F.col(id_col).alias("id"), make_simhash_udf()(F.col(text_col)).alias("sh"))
+    sim = df.select(
+        F.col(id_col).alias("id"), make_simhash_udf()(F.col(text_col)).alias("sh")
+    ).cache()  # self-joined below: avoid recomputing the hash UDF per side
     blocks = sim.select(
         "id",
         "sh",
