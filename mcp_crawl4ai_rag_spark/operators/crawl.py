@@ -329,7 +329,6 @@ class CrawlEngine:
             .where(F.col("__rn") == 1)
             .drop("__rn")
         )
-        n_links_seen = links.count()
         canon = links.withColumn("url", canonicalize_url(F.col("href"))).where(
             ~is_malformed(F.col("url"))
         )
@@ -391,28 +390,50 @@ class CrawlEngine:
         )
         self.seq_counter += n_new
 
+        # one stats pass: per-(host, outcome) counts + per-page-deduped link
+        # totals (links_seen = Σ distinct hrefs of fetched pages — identical
+        # to counting the exploded first-occurrence rows, without a 2nd job)
+        stats = (
+            enriched.groupBy("host", "outcome")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(
+                    F.when(
+                        F.col("outcome") == "fetched",
+                        F.size(F.array_distinct(F.coalesce(F.col("out_links"), F.array()))),
+                    ).otherwise(F.lit(0))
+                ).alias("links"),
+            )
+            .collect()
+        )
+        outcome_counts: dict[str, int] = {}
+        host_popped: dict[str, int] = {}
+        n_links_seen = 0
+        for r in stats:
+            outcome_counts[r["outcome"]] = outcome_counts.get(r["outcome"], 0) + r["n"]
+            host_popped[r["host"]] = host_popped.get(r["host"], 0) + r["n"]
+            n_links_seen += r["links"]
+
         # politeness charge + per-host lineage metrics
-        popped_counts = popped.groupBy("host").agg(F.count("*").alias("popped"))
+        popped_counts = self.spark.createDataFrame(
+            list(host_popped.items()), "host string, popped long"
+        )
         self._commit(self.hosts_tbl, "hosts", charge_hosts(hosts, popped_counts))
 
-        outcome_counts = {
-            r["outcome"]: r["n"]
-            for r in enriched.groupBy("outcome").agg(F.count("*").alias("n")).collect()
-        }
         m = {
             "round": self.round_id,
             "popped": n_popped,
             "fetched": outcome_counts.get("fetched", 0),
             "dead": outcome_counts.get("dead", 0),
             "retried": outcome_counts.get("retry", 0),
-            "links_seen": n_links_seen,
+            "links_seen": int(n_links_seen),
             "links_inserted": n_new,
         }
         metric_rows = [
             (self.round_id, "round", k, int(v)) for k, v in m.items() if k != "round"
         ] + [
-            (self.round_id, f"host:{r['host']}", "popped", int(r["popped"]))
-            for r in popped_counts.collect()
+            (self.round_id, f"host:{h}", "popped", int(n))
+            for h, n in sorted(host_popped.items())
         ]
         self._commit(
             self.metrics_tbl,

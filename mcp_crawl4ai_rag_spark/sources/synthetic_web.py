@@ -174,6 +174,9 @@ def generate_web(
             urls.append(f"https://{host}/documentation/{seg}/{i}")
 
     web = SyntheticWeb()
+    by_host: dict[str, list[str]] = {}
+    for u in urls:
+        by_host.setdefault(u.split("/")[2], []).append(u)
     for i, url in enumerate(urls):
         r = rng.random()
         if r < p_permanent_error:
@@ -192,10 +195,7 @@ def generate_web(
         deg = rng.randint(*out_degree)
         raw_links: list[str] = []
         for _ in range(deg):
-            if rng.random() < 0.75:
-                cands = [u for u in urls if u.split("/")[2] == url.split("/")[2]]
-            else:
-                cands = urls
+            cands = by_host[url.split("/")[2]] if rng.random() < 0.75 else urls
             target = rng.choice(cands)
             raw_links.append(_link_variants(rng, target))
         if rng.random() < 0.3 and raw_links:
