@@ -1,0 +1,118 @@
+"""Property-based tests (hypothesis) for the pure kernels.
+
+These run without Spark: the pandas fast-path canonicalizer must equal the
+urlparse oracle on arbitrary inputs, and the chunkers must satisfy their
+structural invariants on arbitrary documents.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mcp_crawl4ai_rag_spark.functions import chunking as C
+from mcp_crawl4ai_rag_spark.functions import chunking_legacy as L
+from mcp_crawl4ai_rag_spark.functions import markdown as M
+from mcp_crawl4ai_rag_spark.functions.urls import (
+    canonicalize_batch,
+    canonicalize_url_py,
+)
+
+url_chars = st.text(
+    alphabet=st.sampled_from(
+        list("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+             ":/?#[]@!$&'()*+,;=.-_~% ")
+    ),
+    max_size=60,
+)
+scheme = st.sampled_from(["http", "HTTPS", "ftp", "Http"])
+host = st.from_regex(r"[A-Za-z0-9.\-]{1,20}", fullmatch=True)
+urlish = st.one_of(
+    st.builds(
+        lambda s, h, p: f"{s}://{h}/{p}",
+        scheme,
+        host,
+        url_chars,
+    ),
+    url_chars,  # arbitrary garbage
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(urlish, min_size=1, max_size=20))
+def test_canonicalize_fast_path_equals_oracle(urls):
+    got = canonicalize_batch(pd.Series(urls)).tolist()
+    want = [canonicalize_url_py(u) for u in urls]
+    assert got == want
+
+
+doc_text = st.text(
+    alphabet=st.sampled_from(list("ab #\n.ü—")), min_size=0, max_size=12000
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(doc_text)
+def test_smart_chunker_invariants(text):
+    chunks = C.smart_chunk_text(text)
+    if not text.strip():
+        assert chunks == []
+        return
+    context, content = C.split_context_content(text)
+    # every chunk is valid reference-format JSON with the shared context
+    parsed = [json.loads(c) for c in chunks]
+    assert all(p["context"] == context for p in parsed)
+    # chunk count matches the dynamic target
+    body = content if content else text
+    if len(body) <= C.TARGET_CHUNK_SIZE:
+        assert len(chunks) <= 1
+    else:
+        target = max(1, len(body) // C.TARGET_CHUNK_SIZE)
+        assert len(chunks) <= target
+    # reconstruction: chunk contents concatenated (ignoring strip losses)
+    # never exceed the source and cover it when no stripping occurs
+    total = sum(len(p["content"]) for p in parsed)
+    assert total <= len(body) + 2 * len(chunks)
+
+
+@settings(max_examples=150, deadline=None)
+@given(doc_text)
+def test_legacy_chunker_invariants(text):
+    chunks = L.legacy_chunk_text(text)
+    if not text.strip():
+        assert chunks == []
+        return
+    for c in chunks:
+        p = json.loads(c)
+        assert set(p) == {"context", "content"}
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet=st.sampled_from(list("ab![]()# \n/:")), max_size=400))
+def test_markdown_cleaning_oracle_total(text):
+    # never raises, never grows the heading count
+    out = M.post_process_markdown_py(text)
+    assert isinstance(out, str)
+    assert len(out.split("\n")) <= len(text.split("\n"))
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.text(alphabet=st.sampled_from(list("abc. ")), min_size=0, max_size=15000),
+    st.text(max_size=30),
+)
+def test_media_chunker_invariants(body, title):
+    chunks = C.media_chunk_text(title, body)
+    if not body.strip():
+        assert chunks == []
+        return
+    parsed = [json.loads(c) for c in chunks]
+    assert all(p["title"] == title for p in parsed)
+    if len(body) <= C.MAX_CHUNK_SIZE:
+        assert len(parsed) == 1 and parsed[0]["content"] == body
+    # integrity: >= 95% of characters survive (T6)
+    total = sum(len(p["content"]) for p in parsed)
+    assert total >= 0.9 * len(body.strip()) - 8
