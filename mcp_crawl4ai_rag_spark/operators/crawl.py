@@ -67,6 +67,9 @@ from mcp_crawl4ai_rag_spark.operators.politeness import (
 from mcp_crawl4ai_rag_spark.plans.snapshots import CrawlCheckpoint, SnapshotTable
 
 FRONTIER_COLS = ["url", "url_hash", "host", "depth", "priority", "seq", "state", "attempts"]
+# pending rows keep state='pending'; the shared column list keeps the two
+# frontier tables union-compatible
+FRONTIER_COLS_PENDING = FRONTIER_COLS
 
 
 class CrawlEngine:
@@ -96,7 +99,12 @@ class CrawlEngine:
         self.salt_buckets = salt_buckets
         self.fetch_partitions = fetch_partitions
 
-        self.frontier_tbl = SnapshotTable(workdir, "frontier")
+        # Frontier split (the Iceberg-MERGE approximation at 10^10 scale):
+        # `pending` is the only table rewritten per round; `fetched` is
+        # append-only (per-round fast appends of new files). The per-round
+        # write cost is O(pending) + O(batch), never O(all urls ever seen).
+        self.pending_tbl = SnapshotTable(workdir, "frontier_pending")
+        self.fetched_tbl = SnapshotTable(workdir, "frontier_fetched")
         self.documents_tbl = SnapshotTable(workdir, "documents")
         self.hosts_tbl = SnapshotTable(workdir, "hosts")
         self.metrics_tbl = SnapshotTable(workdir, "metrics")
@@ -197,7 +205,12 @@ class CrawlEngine:
                 F.lit(0).alias("attempts"),
             )
         )
-        self._commit(self.frontier_tbl, "frontier", rows, partition_by=["state"])
+        self._commit(self.pending_tbl, "frontier_pending", rows)
+        self._commit(
+            self.fetched_tbl,
+            "frontier_fetched",
+            self.spark.createDataFrame([], rows.schema),
+        )
         self._commit(self.hosts_tbl, "hosts", init_hosts(self._hosts_init))
         empty_docs = self.spark.createDataFrame(
             [],
@@ -238,12 +251,11 @@ class CrawlEngine:
         """Run one crawl round; returns the round's metrics dict
         (popped == 0 ⇒ frontier drained)."""
         self.round_id += 1
-        frontier = self._read(self.frontier_tbl, "frontier")
+        pending = self._read(self.pending_tbl, "frontier_pending")
         hosts = self._read(self.hosts_tbl, "hosts")
         if self.round_id > 1:
             hosts = refill_hosts(hosts)
 
-        pending = frontier.where(F.col("state") == "pending")
         popped = budgeted_pop(pending, hosts, self.batch_size).cache()
         n_popped = popped.count()
         if n_popped == 0:
@@ -343,32 +355,33 @@ class CrawlEngine:
         ).transform(with_host_and_path)
         cand = robots_allowed(cand, self.robots)
 
-        # seen set: current frontier minus this round's deaths (they leave
-        # the set before link insertion — simulator order), minus nothing
-        # else; popped non-dead rows stay seen
+        # seen set: pending' ∪ fetched ∪ this round's fetches — this round's
+        # deaths have already left the set (simulator order: deletes happen
+        # before link insertion); popped non-dead rows stay seen
         dead = enriched.where(F.col("outcome") == "dead").select("url", "url_hash")
-        untouched = frontier.join(popped.select("url"), "url", "left_anti")
-        popped_after = (
-            enriched.where(F.col("outcome") != "dead")
-            .withColumn(
-                "state",
-                F.when(F.col("outcome") == "fetched", F.lit("fetched")).otherwise(
-                    F.lit("pending")
-                ),
-            )
-            .withColumn(
-                "attempts",
-                F.when(F.col("outcome") == "retry", F.col("attempts") + 1).otherwise(
-                    F.col("attempts")
-                ),
-            )
+        untouched_pending = pending.join(popped.select("url"), "url", "left_anti")
+        retries = (
+            enriched.where(F.col("outcome") == "retry")
+            .withColumn("attempts", F.col("attempts") + 1)
+            .select(*FRONTIER_COLS_PENDING)
+        )
+        fetched_now = (
+            enriched.where(F.col("outcome") == "fetched")
+            .withColumn("state", F.lit("fetched"))
             .select(*FRONTIER_COLS)
         )
-        base = untouched.select(*FRONTIER_COLS).unionByName(popped_after)
-
-        fresh = new_urls(
-            cand, base.select("url"), bloom=self.seen_bloom, spark=self.spark
+        pending_base = untouched_pending.select(*FRONTIER_COLS_PENDING).unionByName(
+            retries
         )
+        seen_urls = (
+            pending_base.select("url")
+            .unionByName(fetched_now.select("url"))
+            .unionByName(
+                self._read(self.fetched_tbl, "frontier_fetched").select("url")
+            )
+        )
+
+        fresh = new_urls(cand, seen_urls, bloom=self.seen_bloom, spark=self.spark)
         w_order = Window.orderBy("pop_rank", "link_pos")
         new_rows = fresh.select(
             "url",
@@ -384,10 +397,14 @@ class CrawlEngine:
         ).cache()
         n_new = new_rows.count()
 
-        next_frontier = base.unionByName(new_rows)
+        # pending rewrite is O(pending); fetched is a fast append of only
+        # this round's rows
         self._commit(
-            self.frontier_tbl, "frontier", next_frontier, partition_by=["state"]
+            self.pending_tbl,
+            "frontier_pending",
+            pending_base.unionByName(new_rows.select(*FRONTIER_COLS_PENDING)),
         )
+        self._commit(self.fetched_tbl, "frontier_fetched", fetched_now, mode="append")
         self.seq_counter += n_new
 
         # one stats pass: per-(host, outcome) counts + per-page-deduped link
@@ -467,7 +484,10 @@ class CrawlEngine:
         return self._read(self.documents_tbl, "documents")
 
     def frontier(self) -> DataFrame:
-        return self._read(self.frontier_tbl, "frontier")
+        """Logical frontier view: pending ∪ fetched (dead rows are gone)."""
+        return self._read(self.pending_tbl, "frontier_pending").unionByName(
+            self._read(self.fetched_tbl, "frontier_fetched")
+        )
 
     def metrics(self) -> DataFrame:
         return self._read(self.metrics_tbl, "metrics")
