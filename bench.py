@@ -15,7 +15,7 @@ Prints ONE JSON line:
   {"metric": "urls_scheduled_deduped_per_sec", "value": <urls/sec>,
    "unit": "urls/sec", "queries": {name: sec, ...}, "sf": <sf>, ...}
 
-Scale knobs: candidates = SPARK_GRAFT_BENCH_URLS (default 20M × sf),
+Scale knobs: candidates = SPARK_GRAFT_BENCH_URLS (default 40M × sf),
 cores = SPARK_GRAFT_CPUS (local[N]). scripts/scaling_bench.py runs the
 same pipeline at two parallelism levels for the scaling-efficiency
 criterion.
@@ -189,7 +189,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").split("sf")[-1])
-    n_candidates = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", int(20_000_000 * sf)))
+    n_candidates = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", int(40_000_000 * sf)))
     n_seen = n_candidates // 2
     pipeline_only = "--pipeline-only" in sys.argv
 
