@@ -263,12 +263,14 @@ class CrawlEngine:
             self.round_id -= 1
             return {"round": self.round_id + 1, "popped": 0}
 
-        # fetch: pushdown-filtered corpus scan + broadcast join back; salted
-        # repartition spreads hot hosts across tasks (J5 skew note)
-        popped_urls = [r["url"] for r in popped.select("url").collect()]
-        pages = self.corpus.where(F.col("url").isin(popped_urls)).select(
-            "url", "status_code", "spans", "out_links"
-        )
+        # fetch: corpus restricted to the popped batch via broadcast semi
+        # join (an IN-list of thousands of literals would bloat the plan;
+        # the broadcast side is bounded by batch_size), then the matched
+        # pages broadcast back onto the batch; salted repartition spreads
+        # hot hosts across tasks (J5 skew note)
+        pages = self.corpus.join(
+            F.broadcast(popped.select("url")), "url", "left_semi"
+        ).select("url", "status_code", "spans", "out_links")
         nparts = self.fetch_partitions or self.spark.sparkContext.defaultParallelism
         fetch_input = popped.repartition(
             nparts,
