@@ -85,6 +85,38 @@ def init_hosts(hosts: DataFrame) -> DataFrame:
     return hosts.withColumn("tokens", F.col("capacity"))
 
 
+def hosts_from_robots(
+    robots: DataFrame,
+    round_seconds: float = 1.0,
+    default_rate: float = 1.0,
+    burst_rounds: float = 1.0,
+) -> DataFrame:
+    """Derive the token-bucket table from robots crawl_delay rules.
+
+    A host's refill rate is round_seconds / max(crawl_delay) tokens per
+    round (one fetch per crawl_delay seconds); hosts without a delay rule
+    get ``default_rate``. Capacity = rate x burst_rounds (how much unused
+    budget may accumulate). This closes the loop robots → politeness that
+    the reference approximates with a fixed per-page sleep
+    (apple_stealth_crawler.py:230).
+    """
+    rates = robots.groupBy("host").agg(
+        F.max("crawl_delay").alias("max_delay")
+    ).select(
+        "host",
+        F.when(
+            F.col("max_delay") > 0, F.lit(float(round_seconds)) / F.col("max_delay")
+        )
+        .otherwise(F.lit(float(default_rate)))
+        .alias("refill_rate"),
+    )
+    return rates.select(
+        "host",
+        (F.col("refill_rate") * F.lit(float(burst_rounds))).alias("capacity"),
+        "refill_rate",
+    )
+
+
 def refill_hosts(hosts: DataFrame) -> DataFrame:
     return hosts.withColumn(
         "tokens", F.least(F.col("capacity"), F.col("tokens") + F.col("refill_rate"))

@@ -69,6 +69,27 @@ def test_zero_and_negative_budget(spark):
     run_case(spark, {"hot.h": 0, "a.h": -2.5, "b.h": 3}, batch_size=30)
 
 
+def test_hosts_from_robots(spark):
+    from mcp_crawl4ai_rag_spark.operators.politeness import hosts_from_robots
+
+    robots = spark.createDataFrame(
+        [
+            ("slow.h", "allow", "/", 10.0),
+            ("slow.h", "disallow", "/x/", 2.0),
+            ("fast.h", "allow", "/", 0.0),
+        ],
+        "host string, rule_type string, path_prefix string, crawl_delay double",
+    )
+    got = {
+        r["host"]: (r["capacity"], r["refill_rate"])
+        for r in hosts_from_robots(
+            robots, round_seconds=5.0, default_rate=3.0, burst_rounds=2.0
+        ).collect()
+    }
+    assert got["slow.h"] == (1.0, 0.5)  # 5s round / 10s delay = 0.5/round
+    assert got["fast.h"] == (6.0, 3.0)  # default rate
+
+
 def test_priorities_respected(spark):
     # priority DESC dominates seq ASC
     rows = [
