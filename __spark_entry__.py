@@ -541,6 +541,36 @@ def q_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_crawl_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-rule flagship, rows-only: a deterministic 3-round BFS crawl
+    on a seeded synthetic web (pop → fetch join → span clean → link
+    pipeline → bloom dedup → snapshot commits); returns the crawl order.
+    Equality vs the sequential oracle simulator is asserted in
+    tests/test_crawl_e2e.py; here the driver sees the ordering rows."""
+    import tempfile
+
+    from mcp_crawl4ai_rag_spark.operators.crawl import CrawlEngine
+    from mcp_crawl4ai_rag_spark.sources.synthetic_web import generate_web
+
+    web = generate_web(seed=23, n_hosts=4, n_pages=40, n_seeds=2)
+    eng = CrawlEngine(
+        spark,
+        web.corpus_df(spark),
+        web.robots_df(spark),
+        web.hosts_df(spark),
+        tempfile.mkdtemp(prefix="entry-crawl-"),
+        batch_size=10,
+        max_attempts=3,
+        bloom_bits=1 << 16,
+    )
+    eng.seed(web.seeds)
+    for _ in range(3):
+        eng.round()
+    return eng.crawl_order().select(
+        "url", "fetch_round", "seq_in_round"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: RAG hybrid search over chunked+embedded sf0.001 documents —
     chunk (C1) → hash-embed → vector top-k (W4) ∪ keyword (W5) → tiered
@@ -614,6 +644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann": q_ivf_ann,
         "multimodal_decode": q_multimodal_decode,
         "hash_embed": q_hash_embed,
+        "crawl_bfs": q_crawl_bfs,
     }
 
 
