@@ -87,6 +87,7 @@ class CrawlEngine:
         bloom_bits: int = 1 << 20,
         salt_buckets: int = 8,
         fetch_partitions: int | None = None,
+        snapshot_keep: int = 8,
     ):
         self.spark = spark
         self.corpus = corpus
@@ -98,6 +99,7 @@ class CrawlEngine:
         self.bloom_bits = bloom_bits
         self.salt_buckets = salt_buckets
         self.fetch_partitions = fetch_partitions
+        self.snapshot_keep = snapshot_keep
 
         # Frontier split (the Iceberg-MERGE approximation at 10^10 scale):
         # `pending` is the only table rewritten per round; `fetched` is
@@ -466,6 +468,12 @@ class CrawlEngine:
         dead_hashes = [r["url_hash"] for r in dead.collect()] if self.use_cuckoo else []
         self._maintain_filters(new_rows.select("url_hash"), dead_hashes)
         self._save_checkpoint()
+        # long crawls would otherwise accumulate O(rounds) pending-table
+        # rewrites; keep a bounded time-travel window (checkpoint pins the
+        # current version, which is always retained)
+        if self.snapshot_keep:
+            self.pending_tbl.expire_snapshots(keep=self.snapshot_keep)
+            self.hosts_tbl.expire_snapshots(keep=self.snapshot_keep)
         popped.unpersist()
         enriched.unpersist()
         new_rows.unpersist()
