@@ -27,9 +27,11 @@ Scale notes (10^10 frontier / 1000 executors):
   (tokens are charged from per-host counts, not per-task);
 - the seen-set anti-join shuffles only bloom-HIT candidates; at a 1%
   bloom FP rate, 99% of genuinely-new URLs skip the shuffle;
-- frontier rewrite per round is the sandbox stand-in for an Iceberg
-  MERGE (which touches only matched partitions); documents/metrics use
-  true fast-appends (new files only);
+- the pending frontier is merge-on-read (Iceberg v2 shape): a host-bucket-
+  partitioned base + an append-only add/del delta; per-round commits are
+  O(batch) equality-deletes + appends, the base is rewritten only by the
+  amortized compaction every ``compact_every`` rounds;
+  documents/metrics/fetched use true fast-appends (new files only);
 - everything driver-side is O(batch) or O(bitmap), never O(frontier).
 
 In production the fetch join becomes a ``mapInPandas`` partition fetcher
@@ -67,9 +69,12 @@ from mcp_crawl4ai_rag_spark.operators.politeness import (
 from mcp_crawl4ai_rag_spark.plans.snapshots import CrawlCheckpoint, SnapshotTable
 
 FRONTIER_COLS = ["url", "url_hash", "host", "depth", "priority", "seq", "state", "attempts"]
-# pending rows keep state='pending'; the shared column list keeps the two
-# frontier tables union-compatible
-FRONTIER_COLS_PENDING = FRONTIER_COLS
+# the pending table additionally carries its partition column: bucket =
+# pmod(xxhash64(host), host_buckets). Bucketing by host (not url) keeps a
+# host's rows in one partition so host-scoped maintenance (recrawl, purge)
+# prunes to 1/N of the table; hot hosts stay safe because the pop itself
+# salt-spreads them (budgeted_pop).
+FRONTIER_COLS_PENDING = FRONTIER_COLS + ["bucket"]
 
 
 class CrawlEngine:
@@ -88,6 +93,8 @@ class CrawlEngine:
         salt_buckets: int = 8,
         fetch_partitions: int | None = None,
         snapshot_keep: int = 8,
+        host_buckets: int = 16,
+        compact_every: int = 8,
     ):
         self.spark = spark
         self.corpus = corpus
@@ -100,12 +107,23 @@ class CrawlEngine:
         self.salt_buckets = salt_buckets
         self.fetch_partitions = fetch_partitions
         self.snapshot_keep = snapshot_keep
+        self.host_buckets = host_buckets
+        self.compact_every = compact_every
 
-        # Frontier split (the Iceberg-MERGE approximation at 10^10 scale):
-        # `pending` is the only table rewritten per round; `fetched` is
-        # append-only (per-round fast appends of new files). The per-round
-        # write cost is O(pending) + O(batch), never O(all urls ever seen).
+        # Frontier layout (the Iceberg v2 merge-on-read design at 10^10
+        # scale): `pending` = host-bucket-partitioned BASE (rewritten only
+        # at compaction) + flat append-only DELTA of 'add'/'del' rows;
+        # `fetched` is append-only. A 'del' is an equality delete on
+        # (url, seq, attempts): seq is assigned once per insertion and never
+        # reused (a re-discovered dead URL gets a fresh seq) and attempts is
+        # monotone within a lineage (a retry re-appends at attempts+1), so a
+        # delete record can never collide with a later live row version.
+        # Per-round write cost is O(batch); compaction every
+        # ``compact_every`` rounds folds the delta into the base
+        # (amortized O(pending / compact_every) per round, and bounds the
+        # read-side anti-join to compact_every × batch delete rows).
         self.pending_tbl = SnapshotTable(workdir, "frontier_pending")
+        self.pending_delta_tbl = SnapshotTable(workdir, "frontier_pending_delta")
         self.fetched_tbl = SnapshotTable(workdir, "frontier_fetched")
         self.documents_tbl = SnapshotTable(workdir, "documents")
         self.hosts_tbl = SnapshotTable(workdir, "hosts")
@@ -128,6 +146,47 @@ class CrawlEngine:
         info = tbl.commit(df, **kw)
         self.versions[name] = info.version
 
+    def _bucket(self, host_col: str = "host"):
+        return F.pmod(F.xxhash64(host_col), F.lit(self.host_buckets)).cast("int")
+
+    def _commit_pending_base(self, df: DataFrame) -> None:
+        """Full rewrite of the pending BASE, partitioned by host bucket
+        (seed + compaction only — never per round)."""
+        info = self.pending_tbl.commit_partitioned(df, "bucket", changed=None)
+        self.versions["frontier_pending"] = info.version
+
+    def _read_pending(self) -> DataFrame:
+        """Merge-on-read view of the pending frontier: base ∪ delta-adds,
+        minus equality deletes on (url, attempts). The delete set is bounded
+        by compact_every × batch rows → broadcast anti-join, no shuffle of
+        the base."""
+        base = self._read(self.pending_tbl, "frontier_pending")
+        delta = self._read(self.pending_delta_tbl, "frontier_pending_delta")
+        adds = delta.where(F.col("op") == "add").drop("op")
+        dels = delta.where(F.col("op") == "del").select("url", "seq", "attempts")
+        return base.unionByName(adds).join(
+            F.broadcast(dels), ["url", "seq", "attempts"], "left_anti"
+        )
+
+    def _compact_pending(self) -> None:
+        """Fold the delta into a fresh partitioned base (Iceberg rewrite/
+        compaction). Amortized: runs every ``compact_every`` rounds, so the
+        per-round cost stays O(pending / compact_every) + O(batch)."""
+        current = self._read_pending()
+        self._commit_pending_base(current.select(*FRONTIER_COLS_PENDING))
+        self._commit(
+            self.pending_delta_tbl,
+            "frontier_pending_delta",
+            self.spark.createDataFrame([], self._delta_schema()),
+        )
+
+    @staticmethod
+    def _delta_schema() -> str:
+        return (
+            "url string, url_hash long, host string, depth int, priority int, "
+            "seq long, state string, attempts int, bucket int, op string"
+        )
+
     def _save_checkpoint(self) -> None:
         state = {
             "round_id": self.round_id,
@@ -135,12 +194,16 @@ class CrawlEngine:
             "versions": self.versions,
             "batch_size": self.batch_size,
             "bloom_bits": self.bloom_bits,
+            "max_attempts": self.max_attempts,
         }
         if self.seen_bloom is not None:
             state["bloom_path"] = self.checkpoint.save_filter(
                 self.round_id, self.seen_bloom.to_bytes()
             )
         self.checkpoint.save(state)
+        # bounded disk: old per-round filter files are unreachable once the
+        # checkpoint pointer moves — drop all but a small trailing window
+        self.checkpoint.prune_filters(self.round_id, keep=2)
 
     @classmethod
     def resume(
@@ -156,6 +219,9 @@ class CrawlEngine:
         hosts_placeholder = spark.createDataFrame(
             [], "host string, capacity double, refill_rate double"
         )
+        # retry semantics are part of the checkpointed contract — a resume
+        # must not silently change them unless the caller overrides
+        kw.setdefault("max_attempts", ck.get("max_attempts", 3))
         eng = cls(
             spark,
             corpus,
@@ -169,9 +235,31 @@ class CrawlEngine:
         eng.round_id = ck["round_id"]
         eng.seq_counter = ck["seq_counter"]
         eng.versions = dict(ck["versions"])
-        if eng.use_bloom and ck.get("bloom_path") and os.path.exists(ck["bloom_path"]):
-            with open(ck["bloom_path"], "rb") as f:
-                eng.seen_bloom = BloomFilter.from_bytes(f.read())
+        if eng.use_bloom:
+            blob = None
+            p = ck.get("bloom_path")
+            if p and os.path.exists(p):
+                with open(p, "rb") as f:
+                    blob = f.read()
+            if blob is not None and len(blob) * 8 == ck["bloom_bits"]:
+                eng.seen_bloom = BloomFilter.from_bytes(blob)
+            else:
+                # missing/corrupt filter state must NOT silently degrade to
+                # an empty bloom (new_urls treats misses as definitely-new →
+                # re-fetch of already-seen URLs). Rebuild exactly from the
+                # checkpointed seen set: pending ∪ fetched. The rebuilt bloom
+                # is a subset of the incremental one (no stale dead entries)
+                # — still a sound prefilter for the exact anti-join.
+                seen_hashes = (
+                    eng._read_pending()
+                    .select("url_hash")
+                    .unionByName(
+                        eng._read(eng.fetched_tbl, "frontier_fetched").select("url_hash")
+                    )
+                )
+                eng.seen_bloom = build_bloom(
+                    seen_hashes, "url_hash", ck["bloom_bits"], eng.seen_bloom.num_hashes
+                )
         return eng
 
     # -- seeding ------------------------------------------------------------
@@ -206,12 +294,18 @@ class CrawlEngine:
                 F.lit("pending").alias("state"),
                 F.lit(0).alias("attempts"),
             )
+            .withColumn("bucket", self._bucket())
         )
-        self._commit(self.pending_tbl, "frontier_pending", rows)
+        self._commit_pending_base(rows)
+        self._commit(
+            self.pending_delta_tbl,
+            "frontier_pending_delta",
+            self.spark.createDataFrame([], self._delta_schema()),
+        )
         self._commit(
             self.fetched_tbl,
             "frontier_fetched",
-            self.spark.createDataFrame([], rows.schema),
+            self.spark.createDataFrame([], rows.select(*FRONTIER_COLS).schema),
         )
         self._commit(self.hosts_tbl, "hosts", init_hosts(self._hosts_init))
         empty_docs = self.spark.createDataFrame(
@@ -253,7 +347,7 @@ class CrawlEngine:
         """Run one crawl round; returns the round's metrics dict
         (popped == 0 ⇒ frontier drained)."""
         self.round_id += 1
-        pending = self._read(self.pending_tbl, "frontier_pending")
+        pending = self._read_pending()
         hosts = self._read(self.hosts_tbl, "hosts")
         if self.round_id > 1:
             hosts = refill_hosts(hosts)
@@ -297,7 +391,12 @@ class CrawlEngine:
             .withColumn("text", render_spans_text(F.col("clean_spans")))
             .withColumn("is_dead_err", is_permanent_error(F.col("status"), F.col("text")))
             .withColumn(
-                "is_empty", ~F.col("is_dead_err") & (F.length(F.trim(F.col("text"))) == 0)
+                # whitespace-equivalent to the oracle's str.strip() — F.trim
+                # only strips ASCII spaces, which would misclassify pages
+                # whose cleaned text is '\n'/'\t'-only as fetched
+                "is_empty",
+                ~F.col("is_dead_err")
+                & (F.length(F.regexp_replace(F.col("text"), r"\s", "")) == 0),
             )
             .withColumn(
                 "outcome",
@@ -387,29 +486,43 @@ class CrawlEngine:
 
         fresh = new_urls(cand, seen_urls, bloom=self.seen_bloom, spark=self.spark)
         w_order = Window.orderBy("pop_rank", "link_pos")
-        new_rows = fresh.select(
-            "url",
-            F.xxhash64("url").alias("url_hash"),
-            "host",
-            F.col("depth").cast("int").alias("depth"),
-            F.lit(0).alias("priority"),
-            (F.row_number().over(w_order) + F.lit(self.seq_counter - 1)).cast(
-                "long"
-            ).alias("seq"),
-            F.lit("pending").alias("state"),
-            F.lit(0).alias("attempts"),
-        ).cache()
+        new_rows = (
+            fresh.select(
+                "url",
+                F.xxhash64("url").alias("url_hash"),
+                "host",
+                F.col("depth").cast("int").alias("depth"),
+                F.lit(0).alias("priority"),
+                (F.row_number().over(w_order) + F.lit(self.seq_counter - 1)).cast(
+                    "long"
+                ).alias("seq"),
+                F.lit("pending").alias("state"),
+                F.lit(0).alias("attempts"),
+            )
+            .withColumn("bucket", self._bucket())
+            .cache()
+        )
         n_new = new_rows.count()
 
-        # pending rewrite is O(pending); fetched is a fast append of only
-        # this round's rows
+        # merge-on-read delta commit, O(batch): every popped row version gets
+        # an equality 'del' on (url, attempts); retries re-append at
+        # attempts+1 and brand-new links append fresh. The base is untouched
+        # — no O(pending) rewrite in the round path. fetched stays a fast
+        # append of this round's rows.
+        dels = popped.select(*FRONTIER_COLS_PENDING).withColumn("op", F.lit("del"))
+        adds = (
+            retries.unionByName(new_rows.select(*FRONTIER_COLS_PENDING))
+        ).withColumn("op", F.lit("add"))
         self._commit(
-            self.pending_tbl,
-            "frontier_pending",
-            pending_base.unionByName(new_rows.select(*FRONTIER_COLS_PENDING)),
+            self.pending_delta_tbl,
+            "frontier_pending_delta",
+            dels.unionByName(adds),
+            mode="append",
         )
         self._commit(self.fetched_tbl, "frontier_fetched", fetched_now, mode="append")
         self.seq_counter += n_new
+        if self.compact_every and self.round_id % self.compact_every == 0:
+            self._compact_pending()
 
         # one stats pass: per-(host, outcome) counts + per-page-deduped link
         # totals (links_seen = Σ distinct hrefs of fetched pages — identical
@@ -473,6 +586,7 @@ class CrawlEngine:
         # current version, which is always retained)
         if self.snapshot_keep:
             self.pending_tbl.expire_snapshots(keep=self.snapshot_keep)
+            self.pending_delta_tbl.expire_snapshots(keep=self.snapshot_keep)
             self.hosts_tbl.expire_snapshots(keep=self.snapshot_keep)
         popped.unpersist()
         enriched.unpersist()
@@ -494,9 +608,13 @@ class CrawlEngine:
         return self._read(self.documents_tbl, "documents")
 
     def frontier(self) -> DataFrame:
-        """Logical frontier view: pending ∪ fetched (dead rows are gone)."""
-        return self._read(self.pending_tbl, "frontier_pending").unionByName(
-            self._read(self.fetched_tbl, "frontier_fetched")
+        """Logical frontier view: pending ∪ fetched (dead rows are gone).
+        The pending table's physical partition column is dropped — the
+        logical schema is FRONTIER_COLS for both halves."""
+        return (
+            self._read_pending()
+            .select(*FRONTIER_COLS)
+            .unionByName(self._read(self.fetched_tbl, "frontier_fetched"))
         )
 
     def metrics(self) -> DataFrame:

@@ -164,6 +164,21 @@ def make_bloom_contains_udf(spark, bloom: BloomFilter):
 # ---------------------------------------------------------------------------
 
 
+# alt-index hash over the whole 16-bit fingerprint space, precomputed once —
+# lets both the per-key eviction loop and the vectorized batch probe share
+# the identical alt mapping without hashing per key
+_ALT16 = None
+
+
+def _alt_table() -> np.ndarray:
+    global _ALT16
+    if _ALT16 is None:
+        fps = np.arange(1 << 16, dtype=np.int64)
+        h, _ = _hash_pair_vec(fps)
+        _ALT16 = h
+    return _ALT16
+
+
 class CuckooFilter:
     """Bucketed cuckoo filter: 4 slots/bucket, 16-bit fingerprints.
 
@@ -171,6 +186,11 @@ class CuckooFilter:
     page row, operations.py:108-122, making the URL re-discoverable; a bloom
     can't forget, a cuckoo can). Sharded by hash range in the engine so each
     shard can live with (and be maintained by) one frontier partition.
+
+    Hashing is splitmix64 (_hash_pair_vec) so batch probes vectorize;
+    deletes are sound (no false negatives for other keys) because every
+    insert stores its own fingerprint copy and the engine deletes only keys
+    it previously inserted — per-(bucket, fp) copy counts stay exact.
     """
 
     SLOTS = 4
@@ -187,14 +207,13 @@ class CuckooFilter:
         self._rng = np.random.default_rng(0xC0FFEE)
 
     def _fp_and_index(self, key: int) -> tuple[int, int]:
-        h1, h2 = _hash_pair(key)
-        fp = (h2 & 0xFFFF) or 1  # fingerprint 0 means empty slot
-        return fp, h1 % self.num_buckets
+        h1, h2 = _hash_pair_vec(np.asarray([key], dtype=np.int64))
+        fp = (int(h2[0]) & 0xFFFF) or 1  # fingerprint 0 means empty slot
+        return fp, int(h1[0]) % self.num_buckets
 
     def _alt_index(self, idx: int, fp: int) -> int:
         # standard partial-key cuckoo: alt = idx XOR hash(fp)
-        d = hashlib.blake2b(int(fp).to_bytes(2, "little"), digest_size=8).digest()
-        return (idx ^ int.from_bytes(d, "little")) % self.num_buckets
+        return (idx ^ int(_alt_table()[fp])) % self.num_buckets
 
     def insert(self, key: int) -> bool:
         fp, i1 = self._fp_and_index(key)

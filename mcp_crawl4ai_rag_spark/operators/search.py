@@ -156,11 +156,19 @@ def rerank_stub(results: DataFrame, query: str, content_col: str = "content") ->
 def paginate(
     df: DataFrame, order_cols: list, limit: int, offset: int
 ) -> DataFrame:
-    """W6: LIMIT/OFFSET via row_number window (frontend/api.py:216-226)."""
+    """W6: LIMIT/OFFSET (frontend/api.py:216-226), scale-safe.
+
+    orderBy + limit(offset+limit) compiles to TakeOrderedAndProject —
+    per-partition top-k heaps, no global sort, no single-partition window
+    over the full table. Only the surviving ``offset+limit`` rows (bounded,
+    driver-page-sized) pass through the row_number window that drops the
+    first ``offset``.
+    """
+    top = df.orderBy(*order_cols).limit(offset + limit)
     w = Window.orderBy(*order_cols)
     return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .where((F.col("__rn") > offset) & (F.col("__rn") <= offset + limit))
+        top.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") > offset)
         .drop("__rn")
     )
 

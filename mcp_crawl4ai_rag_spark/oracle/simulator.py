@@ -161,7 +161,9 @@ class CrawlSimulator:
                     del frontier[url]  # dead: leaves the seen set
                     m["dead"] += 1
                     continue
-                if not text.strip():
+                # contract: "empty" = nothing but Java-regex \s whitespace
+                # (matches the engine's regexp_replace(text, '\\s', '') check)
+                if not text.strip(" \t\n\x0b\f\r"):
                     row["attempts"] += 1
                     if self.max_attempts is not None and row["attempts"] >= self.max_attempts:
                         del frontier[url]

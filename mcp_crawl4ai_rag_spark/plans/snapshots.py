@@ -59,8 +59,18 @@ class SnapshotTable:
         with open(os.path.join(self.dir, f"m{version}.json")) as f:
             return json.load(f)
 
-    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
-        """Read a snapshot (latest, or time travel to ``version``)."""
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        partitions: list | None = None,
+    ) -> DataFrame:
+        """Read a snapshot (latest, or time travel to ``version``).
+
+        ``partitions`` (partitioned snapshots only) restricts the scan to
+        those partition values — true partition pruning: unlisted partition
+        directories are never touched.
+        """
         if version is None:
             info = self.current()
             if info is None:
@@ -68,6 +78,8 @@ class SnapshotTable:
             m = self._manifest(info.version)
         else:
             m = self._manifest(version)
+        if m.get("part_col"):
+            return self._read_partitioned(spark, m, partitions)
         reader = spark.read
         # explicit schema: lets empty snapshots (no data files) read back
         if m.get("schema"):
@@ -75,6 +87,43 @@ class SnapshotTable:
 
             reader = reader.schema(StructType.fromJson(json.loads(m["schema"])))
         return reader.parquet(*m["paths"])
+
+    def _read_partitioned(
+        self, spark: SparkSession, m: dict, partitions: list | None
+    ) -> DataFrame:
+        """Union of per-partition scans, each re-tagged with its partition
+        value (data files are written via partitionBy, so they do not carry
+        the partition column). The manifest's partition→path map IS the
+        pruning index — Iceberg's manifest-level partition pruning on plain
+        parquet."""
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        part_col = m["part_col"]
+        file_schema = StructType([f for f in schema if f.name != part_col])
+        part_type = schema[part_col].dataType
+        cols = [f.name for f in schema]
+        wanted = (
+            {str(v) for v in partitions} if partitions is not None else None
+        )
+        pieces = []
+        from pyspark.sql import functions as F
+
+        for val, path in sorted(m["partitions"].items()):
+            if wanted is not None and val not in wanted:
+                continue
+            pieces.append(
+                spark.read.schema(file_schema)
+                .parquet(path)
+                .withColumn(part_col, F.lit(val).cast(part_type))
+                .select(*cols)
+            )
+        if not pieces:
+            return spark.createDataFrame([], schema)
+        out = pieces[0]
+        for p in pieces[1:]:
+            out = out.unionByName(p)
+        return out
 
     def commit(
         self,
@@ -126,8 +175,73 @@ class SnapshotTable:
         os.replace(tmp, self.manifest_path)  # atomic pointer swap
         return SnapshotInfo(new_v, paths, extra or {})
 
+    def commit_partitioned(
+        self,
+        df: DataFrame,
+        part_col: str,
+        changed: list | None = None,
+        expected_version: int | None = None,
+        extra: dict | None = None,
+    ) -> SnapshotInfo:
+        """Partition-level MERGE commit (the Iceberg replace-partitions op).
+
+        ``df`` must contain ONLY the rows of the ``changed`` partitions
+        (``changed=None`` = full rewrite, e.g. the initial commit). The new
+        manifest maps every partition value to a data directory: unchanged
+        partitions keep their previous directories (zero I/O), changed ones
+        point into the new version directory. A changed partition with no
+        surviving rows disappears from the map. Per-commit write cost is
+        O(changed rows), never O(table).
+        """
+        cur = self.current()
+        cur_v = cur.version if cur else 0
+        if expected_version is not None and cur_v != expected_version:
+            raise CommitConflict(
+                f"{self.dir}: expected v{expected_version}, found v{cur_v}"
+            )
+        new_v = cur_v + 1
+        path = os.path.join(self.dir, f"d{new_v}")
+        df.write.mode("overwrite").partitionBy(part_col).parquet(path)
+        written = {
+            entry.split("=", 1)[1]: os.path.join(path, entry)
+            for entry in os.listdir(path)
+            if entry.startswith(f"{part_col}=")
+        }
+        old_parts: dict = {}
+        if cur is not None and changed is not None:
+            old_m = self._manifest(cur.version)
+            if old_m.get("part_col") == part_col:
+                changed_strs = {str(v) for v in changed}
+                old_parts = {
+                    k: v
+                    for k, v in old_m["partitions"].items()
+                    if k not in changed_strs
+                }
+        partitions = {**old_parts, **written}
+        manifest = {
+            "version": new_v,
+            "paths": sorted(partitions.values()),
+            "part_col": part_col,
+            "partitions": partitions,
+            "schema": df.schema.json(),
+            "committed_at": time.time(),
+            "extra": extra or {},
+        }
+        mpath = os.path.join(self.dir, f"m{new_v}.json")
+        with open(mpath, "w") as f:
+            json.dump(manifest, f)
+        tmp = self.manifest_path + f".tmp.{os.getpid()}.{time.time_ns()}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self.manifest_path)  # atomic pointer swap
+        return SnapshotInfo(new_v, manifest["paths"], extra or {})
+
     def expire_snapshots(self, keep: int = 3) -> None:
-        """Drop data dirs not referenced by the last ``keep`` manifests."""
+        """Drop data dirs not referenced by the last ``keep`` manifests.
+
+        Partitioned manifests reference *subdirectories* of version dirs
+        (``d{v}/bucket=K``); a version dir survives while any live path
+        points into it."""
         cur = self.current()
         if cur is None:
             return
@@ -138,8 +252,19 @@ class SnapshotTable:
                 live.update(self._manifest(v)["paths"])
         for entry in os.listdir(self.dir):
             full = os.path.join(self.dir, entry)
-            if entry.startswith("d") and entry[1:].isdigit() and full not in live:
-                shutil.rmtree(full, ignore_errors=True)
+            if not (entry.startswith("d") and entry[1:].isdigit()):
+                continue
+            if full in live:
+                continue
+            if any(p.startswith(full + os.sep) for p in live):
+                # version dir partially live: GC just its dead partition
+                # subdirs (a bucket superseded by a later rewrite)
+                for sub in os.listdir(full):
+                    subfull = os.path.join(full, sub)
+                    if "=" in sub and os.path.isdir(subfull) and subfull not in live:
+                        shutil.rmtree(subfull, ignore_errors=True)
+                continue
+            shutil.rmtree(full, ignore_errors=True)
 
 
 class CrawlCheckpoint:
@@ -163,10 +288,28 @@ class CrawlCheckpoint:
             json.dump(state, f, indent=1)
         os.replace(tmp, self.path)
 
-    def save_filter(self, round_id: int, blob: bytes) -> str:
-        p = os.path.join(self.dir, f"seen_filter_r{round_id}.bin")
+    def save_filter(self, round_id: int, blob: bytes, kind: str = "seen_filter") -> str:
+        p = os.path.join(self.dir, f"{kind}_r{round_id}.bin")
         tmp = p + ".tmp"
         with open(tmp, "wb") as f:
             f.write(blob)
         os.replace(tmp, p)
         return p
+
+    def prune_filters(self, current_round: int, keep: int = 2) -> None:
+        """Drop filter state files older than ``current_round - keep + 1``.
+
+        The checkpoint pointer pins the current round's file; older ones are
+        unreachable once ``save()`` swaps the pointer, and at bloom_bits/8
+        bytes each they would otherwise accumulate O(rounds) disk.
+        """
+        import re
+
+        pat = re.compile(r"^[a-z_]+_r(\d+)\.bin$")
+        for entry in os.listdir(self.dir):
+            m = pat.match(entry)
+            if m and int(m.group(1)) <= current_round - keep:
+                try:
+                    os.remove(os.path.join(self.dir, entry))
+                except OSError:
+                    pass
