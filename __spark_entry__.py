@@ -541,6 +541,77 @@ def q_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_seed_sitemap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap seed source round-trip (north-rule sitemap fixtures): build
+    one sitemap XML document per documents.source (urls + 0.0–1.0
+    priorities derived from doc_id), parse them with the engine's
+    distributed sitemap parser (sources/seeds.py), emit (url, priority).
+    The oracle computes the expected rows directly from the table — the
+    XML encode→parse→priority-mapping round-trip must be lossless."""
+    from mcp_crawl4ai_rag_spark.sources.seeds import parse_sitemap_frame
+
+    d = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id") % 11
+    entry_xml = F.concat(
+        F.lit("<url><loc>https://"),
+        F.col("source"),
+        F.lit(".example.com/doc/"),
+        F.col("doc_id").cast("string"),
+        F.lit("</loc><priority>"),
+        F.when(k == 10, F.lit("1.0")).otherwise(
+            F.concat(F.lit("0."), k.cast("string"))
+        ),
+        F.lit("</priority></url>"),
+    )
+    files = (
+        d.select("source", F.struct(F.col("doc_id"), entry_xml.alias("x")).alias("e"))
+        .groupBy("source")
+        .agg(F.sort_array(F.collect_list("e")).alias("es"))
+        .select(
+            "source",
+            F.encode(
+                F.concat(
+                    F.lit(
+                        '<?xml version="1.0" encoding="UTF-8"?>'
+                        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+                    ),
+                    F.concat_ws("", F.transform(F.col("es"), lambda e: e["x"])),
+                    F.lit("</urlset>"),
+                ),
+                "utf-8",
+            ).alias("content"),
+        )
+    )
+    return parse_sitemap_frame(files).select(
+        F.col("raw_url").alias("url"), F.col("priority").alias("priority")
+    )
+
+
+def q_vector_topk_2560(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: exact cosine top-k at the reference's production
+    dimensionality (2560, src/embedding/config.py:24) — exercises the BLAS
+    Arrow-batch kernel vector_topk dispatches to above BLAS_DIM_THRESHOLD.
+    Parity with the Column-fold kernel is asserted in
+    tests/test_search.py::test_vector_topk_blas_dispatch_2560_dim."""
+    from mcp_crawl4ai_rag_spark.functions.embedding import (
+        embed_query_py,
+        make_hash_embed_udf,
+    )
+    from mcp_crawl4ai_rag_spark.operators.search import vector_topk
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"),
+        _doc_url(F.col("source"), F.col("doc_id")).alias("url"),
+        F.col("text").alias("content"),
+    )
+    emb = make_hash_embed_udf(2560)
+    chunks = d.withColumn("embedding", emb(F.col("content")))
+    qvec = embed_query_py("vector tensor graph", 2560)
+    return vector_topk(chunks, qvec, k=20, id_col="id").select(
+        "id", "url", F.round(F.col("similarity"), 6).alias("similarity")
+    )
+
+
 def q_crawl_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The north-rule flagship, rows-only: a deterministic 3-round BFS crawl
     on a seeded synthetic web (pop → fetch join → span clean → link
@@ -636,6 +707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "sim_topk_per_label": q_sim_topk_per_label,
         "events_hourly": q_events_hourly,
+        "seed_sitemap": q_seed_sitemap,
         # rows-only (non-SQL-expressible): chunkers, LSH, IVF, multimodal
         "c1_smart_chunker": q_c1_smart_chunker,
         "c3_media_chunker": q_c3_media_chunker,
@@ -644,6 +716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann": q_ivf_ann,
         "multimodal_decode": q_multimodal_decode,
         "hash_embed": q_hash_embed,
+        "vector_topk_2560": q_vector_topk_2560,
         "crawl_bfs": q_crawl_bfs,
     }
 
@@ -899,5 +972,11 @@ def oracle_sql() -> dict[str, str]:
                    event_type, COUNT(*) AS n_events,
                    ROUND(SUM(value), 4) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "seed_sitemap": """
+            SELECT 'https://' || source || '.example.com/doc/' ||
+                   CAST(doc_id AS VARCHAR) AS url,
+                   CAST((doc_id % 11) * 100 AS INT) AS priority
+            FROM documents
         """,
     }

@@ -183,6 +183,43 @@ def time_queries(spark: SparkSession, sf_dir: str) -> dict:
     return out
 
 
+def compare_previous(result: dict) -> None:
+    """Regression harness: compare per-query times and the headline metric
+    against the newest BENCH_r*.json; flag >1.3x slowdowns on stderr (stdout
+    stays the single JSON line for the driver)."""
+    import glob
+
+    paths = sorted(
+        glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json"))
+    )
+    if not paths:
+        return
+    ref = os.path.basename(paths[-1])
+    try:
+        with open(paths[-1]) as f:
+            prev = json.load(f)
+        prev = prev.get("parsed") or prev
+    except (OSError, ValueError):
+        return
+    regs = []
+    pq = prev.get("queries") or {}
+    for name, t in (result.get("queries") or {}).items():
+        p = pq.get(name)
+        # sub-0.3s timings are session-noise dominated; skip them
+        if p and p >= 0.3 and t > 1.3 * p:
+            regs.append(f"{name}: {p:.3f}s -> {t:.3f}s ({t / p:.2f}x)")
+    pv = prev.get("value")
+    if pv and result.get("value") and result["value"] * 1.3 < pv:
+        regs.append(
+            f"headline {result['metric']}: {pv} -> {result['value']} "
+            f"({pv / result['value']:.2f}x slower)"
+        )
+    for r in regs:
+        print(f"REGRESSION vs {ref}: {r}", file=sys.stderr)
+    if not regs:
+        print(f"bench: no >1.3x regressions vs {ref}", file=sys.stderr)
+
+
 def main() -> None:
     from mcp_crawl4ai_rag_spark.session import get_spark
 
@@ -212,6 +249,7 @@ def main() -> None:
         "cpus": cpus,
         **sched,
     }
+    compare_previous(result)
     print(json.dumps(result))
 
 

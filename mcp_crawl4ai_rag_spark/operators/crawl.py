@@ -56,8 +56,10 @@ from mcp_crawl4ai_rag_spark.operators.dedup import (
     BloomFilter,
     ShardedCuckoo,
     build_bloom,
+    maintain_sharded_cuckoo,
     new_urls,
 )
+from mcp_crawl4ai_rag_spark.operators.ranking import with_global_rank
 from mcp_crawl4ai_rag_spark.operators.politeness import (
     budgeted_pop,
     charge_hosts,
@@ -67,6 +69,58 @@ from mcp_crawl4ai_rag_spark.operators.politeness import (
     with_host_and_path,
 )
 from mcp_crawl4ai_rag_spark.plans.snapshots import CrawlCheckpoint, SnapshotTable
+
+FETCH_RESULT_FIELDS = (
+    "status_code int, "
+    "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, "
+    "out_links array<string>, fetch_session string"
+)
+
+
+def fetch_with_partition_sessions(batch: DataFrame, fetcher_factory) -> DataFrame:
+    """S10 production fetch operator: a ``mapInPandas`` partition fetcher
+    with per-partition session reuse — the Spark shape of the reference's
+    ``crawl_pages_batch`` worker pool with one browser context per worker
+    (apple_stealth_crawler.py:16-21, 266-320).
+
+    ``fetcher_factory()`` is invoked lazily ONCE per non-empty partition and
+    must return a session with ``fetch_batch(urls) -> list[(status_code,
+    spans, out_links)]`` (spans = list of {kind, text, media_ref, offset}
+    dicts) and ``close()``. The session's ``id`` tags every output row
+    (``fetch_session``) so tests can assert per-partition reuse; the engine
+    drops the column after the fetch stage.
+
+    The input should already be repartitioned by (host, salt) — politeness
+    stays at host granularity while hot hosts spread across tasks.
+    """
+    from pyspark.sql.types import StructType
+
+    result_fields = StructType.fromDDL(FETCH_RESULT_FIELDS).fields
+    out_schema = StructType(list(batch.schema.fields) + list(result_fields))
+
+    def run(batches):
+        import pandas as pd  # noqa: F401  (worker-side)
+
+        session = None
+        try:
+            for b in batches:
+                if len(b) == 0:
+                    continue
+                if session is None:
+                    session = fetcher_factory()
+                res = session.fetch_batch(list(b["url"]))
+                b = b.copy()
+                b["status_code"] = [r[0] for r in res]
+                b["spans"] = [r[1] for r in res]
+                b["out_links"] = [r[2] for r in res]
+                b["fetch_session"] = getattr(session, "id", "")
+                yield b
+        finally:
+            if session is not None and hasattr(session, "close"):
+                session.close()
+
+    return batch.mapInPandas(run, out_schema)
+
 
 FRONTIER_COLS = ["url", "url_hash", "host", "depth", "priority", "seq", "state", "attempts"]
 # the pending table additionally carries its partition column: bucket =
@@ -95,6 +149,7 @@ class CrawlEngine:
         snapshot_keep: int = 8,
         host_buckets: int = 16,
         compact_every: int = 8,
+        fetcher=None,
     ):
         self.spark = spark
         self.corpus = corpus
@@ -109,6 +164,9 @@ class CrawlEngine:
         self.snapshot_keep = snapshot_keep
         self.host_buckets = host_buckets
         self.compact_every = compact_every
+        # S10 seam: None → sandbox corpus broadcast join; a factory →
+        # fetch_with_partition_sessions (the production HTTP/browser shape)
+        self.fetcher = fetcher
 
         # Frontier layout (the Iceberg v2 merge-on-read design at 10^10
         # scale): `pending` = host-bucket-partitioned BASE (rewritten only
@@ -200,6 +258,10 @@ class CrawlEngine:
             state["bloom_path"] = self.checkpoint.save_filter(
                 self.round_id, self.seen_bloom.to_bytes()
             )
+        if self.seen_cuckoo is not None:
+            state["cuckoo_path"] = self.checkpoint.save_filter(
+                self.round_id, self.seen_cuckoo.to_bytes(), kind="cuckoo_filter"
+            )
         self.checkpoint.save(state)
         # bounded disk: old per-round filter files are unreachable once the
         # checkpoint pointer moves — drop all but a small trailing window
@@ -260,30 +322,59 @@ class CrawlEngine:
                 eng.seen_bloom = build_bloom(
                     seen_hashes, "url_hash", ck["bloom_bits"], eng.seen_bloom.num_hashes
                 )
+        if eng.use_cuckoo:
+            p = ck.get("cuckoo_path")
+            if p and os.path.exists(p):
+                with open(p, "rb") as f:
+                    eng.seen_cuckoo = ShardedCuckoo.from_bytes(f.read())
+            else:
+                # same no-silent-degrade rule as the bloom: rebuild the
+                # deletable filter from the exact seen set (distributed)
+                seen_hashes = (
+                    eng._read_pending()
+                    .select("url_hash")
+                    .unionByName(
+                        eng._read(eng.fetched_tbl, "frontier_fetched").select("url_hash")
+                    )
+                )
+                eng.seen_cuckoo = maintain_sharded_cuckoo(
+                    spark, eng.seen_cuckoo, seen_hashes
+                )
         return eng
 
     # -- seeding ------------------------------------------------------------
 
     def seed(self, seeds: list[tuple[str, int]]) -> int:
-        """Seed the frontier (S1: insert-if-not-exists semantics,
-        operations.py:32-41): canonicalize → malformed → robots →
-        first-occurrence dedup → seq assignment in seed order."""
+        """Seed the frontier from a driver-side list (S1: insert-if-not-
+        exists semantics, operations.py:32-41)."""
         df = self.spark.createDataFrame(
             [(u, p, i) for i, (u, p) in enumerate(seeds)],
             "raw_url string, priority int, seed_idx long",
         )
+        return self.seed_df(df)
+
+    def seed_df(self, seeds_df: DataFrame, order_cols: list | None = None) -> int:
+        """Seed the frontier from a DataFrame — the scale path for sitemap /
+        url-list sources (sources/seeds.py): canonicalize → malformed →
+        robots → first-occurrence dedup → seq assignment in ``order_cols``
+        order (two-stage distributed rank, no single-task window, so a
+        10^7-URL sitemap index seeds without a driver round-trip).
+
+        seeds_df needs (raw_url, priority) plus the ``order_cols``
+        (default ["seed_idx"]) defining seed order.
+        """
+        order_cols = order_cols or ["seed_idx"]
         cand = (
-            df.withColumn("url", canonicalize_url(F.col("raw_url")))
+            seeds_df.withColumn("url", canonicalize_url(F.col("raw_url")))
             .where(~is_malformed(F.col("url")))
             .transform(with_host_and_path)
         )
-        w = Window.partitionBy("url").orderBy("seed_idx")
+        w = Window.partitionBy("url").orderBy(*order_cols)
         cand = cand.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1)
         cand = robots_allowed(cand, self.robots)
+        ranked, pinned = with_global_rank(cand, order_cols, rank_col="__seed_rank")
         rows = (
-            cand.withColumn(
-                "seq", F.row_number().over(Window.orderBy("seed_idx")).cast("long") - 1
-            )
+            ranked.withColumn("seq", F.col("__seed_rank").cast("long"))
             .select(
                 "url",
                 F.xxhash64("url").alias("url_hash"),
@@ -324,22 +415,29 @@ class CrawlEngine:
         )
         n = rows.count()
         self.seq_counter = n
-        self._maintain_filters(rows.select("url_hash"), [])
+        self._maintain_filters(rows.select("url_hash"))
+        pinned.unpersist()
         self._save_checkpoint()
         return n
 
     # -- seen-filter maintenance ---------------------------------------------
 
-    def _maintain_filters(self, new_hashes_df: DataFrame, dead_hashes: list[int]) -> None:
+    def _maintain_filters(
+        self, new_hashes_df: DataFrame, dead_hashes_df: DataFrame | None = None
+    ) -> None:
+        """Both filters are maintained distributed: the bloom as per-partition
+        bitmaps OR-merged on the driver, the cuckoo as per-shard updates in
+        executor tasks (deletes first — dead URLs leave the seen set before
+        link insertion). No key ever materializes on the driver."""
         if self.seen_bloom is not None:
             delta = build_bloom(
                 new_hashes_df, "url_hash", self.seen_bloom.num_bits, self.seen_bloom.num_hashes
             )
             self.seen_bloom = self.seen_bloom.merge(delta)
         if self.seen_cuckoo is not None:
-            new_keys = [r["url_hash"] for r in new_hashes_df.collect()]
-            self.seen_cuckoo.insert_many(new_keys)
-            self.seen_cuckoo.delete_many(dead_hashes)
+            self.seen_cuckoo = maintain_sharded_cuckoo(
+                self.spark, self.seen_cuckoo, new_hashes_df, dead_hashes_df
+            )
 
     # -- one BFS round --------------------------------------------------------
 
@@ -359,22 +457,30 @@ class CrawlEngine:
             self.round_id -= 1
             return {"round": self.round_id + 1, "popped": 0}
 
-        # fetch: corpus restricted to the popped batch via broadcast semi
-        # join (an IN-list of thousands of literals would bloat the plan;
-        # the broadcast side is bounded by batch_size), then the matched
-        # pages broadcast back onto the batch; salted repartition spreads
-        # hot hosts across tasks (J5 skew note)
-        pages = self.corpus.join(
-            F.broadcast(popped.select("url")), "url", "left_semi"
-        ).select("url", "status_code", "spans", "out_links")
+        # fetch stage. Default (sandbox): corpus restricted to the popped
+        # batch via broadcast semi join (an IN-list of thousands of literals
+        # would bloat the plan; the broadcast side is bounded by batch_size),
+        # then the matched pages broadcast back onto the batch. Production:
+        # the injected partition fetcher with per-partition session reuse.
+        # Either way the salted repartition spreads hot hosts across tasks
+        # (J5 skew note) first.
         nparts = self.fetch_partitions or self.spark.sparkContext.defaultParallelism
         fetch_input = popped.repartition(
             nparts,
             F.col("host"),
             F.pmod(F.xxhash64("url"), F.lit(self.salt_buckets)),
         )
+        if self.fetcher is not None:
+            joined = fetch_with_partition_sessions(fetch_input, self.fetcher).drop(
+                "fetch_session"
+            )
+        else:
+            pages = self.corpus.join(
+                F.broadcast(popped.select("url")), "url", "left_semi"
+            ).select("url", "status_code", "spans", "out_links")
+            joined = fetch_input.join(F.broadcast(pages), "url", "left")
         enriched = (
-            fetch_input.join(F.broadcast(pages), "url", "left")
+            joined
             .withColumn("status", F.coalesce(F.col("status_code"), F.lit(404)))
             .withColumn(
                 "clean_spans",
@@ -484,18 +590,26 @@ class CrawlEngine:
             )
         )
 
-        fresh = new_urls(cand, seen_urls, bloom=self.seen_bloom, spark=self.spark)
-        w_order = Window.orderBy("pop_rank", "link_pos")
+        fresh = new_urls(
+            cand,
+            seen_urls,
+            bloom=self.seen_bloom,
+            cuckoo=self.seen_cuckoo,
+            spark=self.spark,
+        )
+        # discovery-order seq via the two-stage distributed rank — no
+        # single-partition window even when a round discovers 10^7 links
+        ranked, pinned = with_global_rank(
+            fresh, ["pop_rank", "link_pos"], rank_col="__rank"
+        )
         new_rows = (
-            fresh.select(
+            ranked.select(
                 "url",
                 F.xxhash64("url").alias("url_hash"),
                 "host",
                 F.col("depth").cast("int").alias("depth"),
                 F.lit(0).alias("priority"),
-                (F.row_number().over(w_order) + F.lit(self.seq_counter - 1)).cast(
-                    "long"
-                ).alias("seq"),
+                (F.col("__rank") + F.lit(self.seq_counter)).cast("long").alias("seq"),
                 F.lit("pending").alias("state"),
                 F.lit(0).alias("attempts"),
             )
@@ -518,6 +632,9 @@ class CrawlEngine:
             "frontier_pending_delta",
             dels.unionByName(adds),
             mode="append",
+            # per-commit lineage (north rule): which round produced this
+            # delta and its op cardinalities — time travel + audit
+            extra={"round": self.round_id, "dels": n_popped, "adds": n_new},
         )
         self._commit(self.fetched_tbl, "frontier_fetched", fetched_now, mode="append")
         self.seq_counter += n_new
@@ -578,8 +695,10 @@ class CrawlEngine:
             mode="append",
         )
 
-        dead_hashes = [r["url_hash"] for r in dead.collect()] if self.use_cuckoo else []
-        self._maintain_filters(new_rows.select("url_hash"), dead_hashes)
+        self._maintain_filters(
+            new_rows.select("url_hash"),
+            dead.select("url_hash") if self.use_cuckoo else None,
+        )
         self._save_checkpoint()
         # long crawls would otherwise accumulate O(rounds) pending-table
         # rewrites; keep a bounded time-travel window (checkpoint pins the
@@ -591,6 +710,7 @@ class CrawlEngine:
         popped.unpersist()
         enriched.unpersist()
         new_rows.unpersist()
+        pinned.unpersist()
         return m
 
     def run(self, max_rounds: int = 1000) -> list[dict]:

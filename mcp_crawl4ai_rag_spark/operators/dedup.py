@@ -241,6 +241,22 @@ class CuckooFilter:
         i2 = self._alt_index(i1, fp)
         return bool((self.table[i1] == fp).any() or (self.table[i2] == fp).any())
 
+    def contains_many_vec(self, keys: np.ndarray) -> np.ndarray:
+        """Vectorized batch probe — no per-key Python in the prefilter path."""
+        if len(keys) == 0:
+            return np.zeros(0, dtype=bool)
+        h1, h2 = _hash_pair_vec(np.asarray(keys, dtype=np.int64))
+        fp = (h2 & np.uint64(0xFFFF)).astype(np.uint16)
+        fp[fp == 0] = 1
+        i1 = (h1 % np.uint64(self.num_buckets)).astype(np.int64)
+        alt = _alt_table()[fp.astype(np.int64)]
+        i2 = ((i1.astype(np.uint64) ^ alt) % np.uint64(self.num_buckets)).astype(
+            np.int64
+        )
+        return (self.table[i1] == fp[:, None]).any(axis=1) | (
+            self.table[i2] == fp[:, None]
+        ).any(axis=1)
+
     def delete(self, key: int) -> bool:
         fp, i1 = self._fp_and_index(key)
         for i in (i1, self._alt_index(i1, fp)):
@@ -261,11 +277,14 @@ class CuckooFilter:
 
 class ShardedCuckoo:
     """Hash-range-sharded cuckoo filters — the distributed layout: shard i
-    holds keys with hash%n == i, mirroring frontier partitioning so each
-    partition maintains its own filter."""
+    holds keys with hash%n == i, mirroring frontier partitioning. Shards are
+    MAINTAINED in executors (``maintain_sharded_cuckoo``: ops shuffle to
+    their shard's task, each task rewrites one shard's bytes) — the driver
+    only reassembles n_shards small blobs, never touches keys."""
 
     def __init__(self, num_shards: int = 8, buckets_per_shard: int = 1 << 14):
         self.num_shards = num_shards
+        self.buckets_per_shard = buckets_per_shard
         self.shards = [CuckooFilter(buckets_per_shard) for _ in range(num_shards)]
 
     def _shard(self, key: int) -> CuckooFilter:
@@ -280,11 +299,123 @@ class ShardedCuckoo:
             self._shard(int(k)).delete(int(k))
 
     def contains_many(self, keys: np.ndarray) -> np.ndarray:
-        return np.fromiter(
-            (self._shard(int(k)).contains(int(k)) for k in keys),
-            dtype=bool,
-            count=len(keys),
+        keys = np.asarray(keys, dtype=np.int64)
+        out = np.zeros(len(keys), dtype=bool)
+        shard_ids = keys % self.num_shards  # numpy % matches Python for n>0
+        for s in range(self.num_shards):
+            m = shard_ids == s
+            if m.any():
+                out[m] = self.shards[s].contains_many_vec(keys[m])
+        return out
+
+    def to_bytes(self) -> bytes:
+        import struct
+
+        head = struct.pack("<II", self.num_shards, self.buckets_per_shard)
+        return head + b"".join(s.to_bytes() for s in self.shards)
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "ShardedCuckoo":
+        import struct
+
+        n, nb = struct.unpack("<II", data[:8])
+        out = cls.__new__(cls)
+        out.num_shards = n
+        out.buckets_per_shard = nb
+        size = nb * CuckooFilter.SLOTS * 2
+        out.shards = [
+            CuckooFilter.from_bytes(data[8 + i * size : 8 + (i + 1) * size], nb)
+            for i in range(n)
+        ]
+        return out
+
+
+def maintain_sharded_cuckoo(
+    spark,
+    sc: ShardedCuckoo,
+    new_keys: DataFrame,
+    dead_keys: DataFrame | None = None,
+    key_col: str = "url_hash",
+) -> ShardedCuckoo:
+    """Distributed seen-filter maintenance (SURVEY §2.4 J3 shape).
+
+    Insert/delete ops shuffle to their shard (pmod(key, n_shards)); each
+    task deserializes exactly ONE shard's table from the broadcast state,
+    applies its deletes *then* inserts (matching the round contract: dead
+    URLs leave the seen set before link insertion), and emits the updated
+    shard bytes. Driver-side work is O(n_shards) blob reassembly — no key
+    ever hits the driver. At cluster scale the broadcast becomes shard-local
+    state co-partitioned with the frontier (same shard math), the plan is
+    unchanged.
+
+    Raises on shard overflow: a failed insert would be a silent false
+    negative in the prefilter, which (unlike a false positive) breaks
+    dedup correctness — grow ``buckets_per_shard`` instead.
+    """
+    n, nb = sc.num_shards, sc.buckets_per_shard
+    blobs = spark.sparkContext.broadcast([s.to_bytes() for s in sc.shards])
+
+    ops = new_keys.select(F.col(key_col).alias("key"), F.lit(0).alias("is_del"))
+    if dead_keys is not None:
+        ops = ops.unionByName(
+            dead_keys.select(F.col(key_col).alias("key"), F.lit(1).alias("is_del"))
         )
+    ops = ops.withColumn("shard", F.pmod(F.col("key"), F.lit(n)).cast("int"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parts: dict[int, tuple[list, list]] = {}
+        for batch in batches:
+            for sid, grp in batch.groupby("shard"):
+                ins, dels = parts.setdefault(int(sid), ([], []))
+                ins.extend(grp.loc[grp["is_del"] == 0, "key"].tolist())
+                dels.extend(grp.loc[grp["is_del"] == 1, "key"].tolist())
+        for sid, (ins, dels) in parts.items():
+            cf = CuckooFilter.from_bytes(blobs.value[sid], nb)
+            for k in dels:
+                cf.delete(int(k))
+            fails = sum(0 if cf.insert(int(k)) else 1 for k in ins)
+            yield pd.DataFrame(
+                {"shard": [sid], "fails": [fails], "bits": [cf.to_bytes()]}
+            )
+
+    rows = (
+        ops.repartition(n, "shard")
+        .mapInPandas(run, "shard int, fails int, bits binary")
+        .collect()
+    )
+    out = ShardedCuckoo.__new__(ShardedCuckoo)
+    out.num_shards, out.buckets_per_shard = n, nb
+    out.shards = list(sc.shards)
+    total_fails = 0
+    for r in rows:
+        out.shards[r["shard"]] = CuckooFilter.from_bytes(r["bits"], nb)
+        total_fails += r["fails"]
+    if total_fails:
+        raise RuntimeError(
+            f"cuckoo filter overflow: {total_fails} inserts failed — a false "
+            "negative would silently break URL dedup; increase buckets_per_shard"
+        )
+    return out
+
+
+def make_cuckoo_contains_udf(spark, sc: ShardedCuckoo):
+    """Broadcast the sharded table; return a vectorized membership predicate
+    (memoized per worker like the bloom probe)."""
+    import uuid
+
+    b = spark.sparkContext.broadcast(sc.to_bytes())
+    cache_key = uuid.uuid4().hex
+
+    @pandas_udf(BooleanType())
+    def might_contain(keys: pd.Series) -> pd.Series:
+        f = _WORKER_BLOOM_CACHE.get(cache_key)
+        if f is None:
+            f = ShardedCuckoo.from_bytes(b.value)
+            _WORKER_BLOOM_CACHE.clear()  # at most one live filter per worker
+            _WORKER_BLOOM_CACHE[cache_key] = f
+        return pd.Series(f.contains_many(keys.to_numpy(dtype=np.int64)))
+
+    return might_contain
 
 
 # ---------------------------------------------------------------------------
@@ -297,20 +428,29 @@ def new_urls(
     seen: DataFrame,
     url_col: str = "url",
     bloom: BloomFilter | None = None,
+    cuckoo: ShardedCuckoo | None = None,
     spark=None,
 ) -> DataFrame:
     """Exactly the set of candidate urls not in `seen` (operations.py:43-59
-    batch-upsert semantics), with optional bloom prefilter.
+    batch-upsert semantics), with an optional approximate-membership
+    prefilter (bloom, or the deletable cuckoo variant).
 
     candidates are deduped internally first (dropDuplicates) — the
     reference's executemany upsert keeps the first occurrence.
-    At scale: the anti-join shuffles only bloom-HIT candidates; misses skip
-    the shuffle entirely (union of a shuffle-free branch).
+    At scale: the anti-join shuffles only prefilter-HIT candidates; misses
+    skip the shuffle entirely (union of a shuffle-free branch). Both filter
+    kinds only ever over-approximate the seen set (bloom: no deletes;
+    cuckoo: inserts are overflow-checked), so a miss is proof-of-new and a
+    hit is resolved exactly.
     """
     cands = candidates.dropDuplicates([url_col])
-    if bloom is None:
+    if bloom is None and cuckoo is None:
         return cands.join(seen.select(url_col), url_col, "left_anti")
-    might = make_bloom_contains_udf(spark, bloom)
+    might = (
+        make_bloom_contains_udf(spark, bloom)
+        if bloom is not None
+        else make_cuckoo_contains_udf(spark, cuckoo)
+    )
     tagged = cands.withColumn("__hit", might(F.xxhash64(F.col(url_col))))
     definitely_new = tagged.where(~F.col("__hit")).drop("__hit")
     maybe_seen = tagged.where(F.col("__hit")).drop("__hit")

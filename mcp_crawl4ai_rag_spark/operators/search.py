@@ -23,7 +23,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from mcp_crawl4ai_rag_spark.functions.embedding import cosine_sim
+from mcp_crawl4ai_rag_spark.functions.embedding import (
+    cosine_sim,
+    make_cosine_batch_udf,
+)
+
+# Above this dimensionality the Catalyst zip_with/aggregate fold (which
+# expands to a per-element expression tree) loses to one BLAS matvec per
+# Arrow batch. The reference's production vectors are 2560-dim halfvec
+# (src/database/client.py:131, src/embedding/config.py:24) — firmly in
+# BLAS territory; the 64-dim oracle fixtures stay on the exact
+# sequential fold so the DuckDB hash gate remains bit-stable.
+BLAS_DIM_THRESHOLD = 256
 
 
 def vector_topk(
@@ -34,10 +45,17 @@ def vector_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """W4: exact cosine top-k. orderBy+limit compiles to
-    TakeOrderedAndProject — per-partition heaps, no global sort."""
+    TakeOrderedAndProject — per-partition heaps, no global sort.
+    Similarity kernel dispatches on dimensionality: Column fold (JVM,
+    whole-stage codegen) below BLAS_DIM_THRESHOLD, Arrow-batched numpy
+    matvec above (both exact double-precision cosine)."""
+    if len(query_vec) >= BLAS_DIM_THRESHOLD:
+        sim = make_cosine_batch_udf(list(query_vec))(F.col(vec_col))
+    else:
+        sim = cosine_sim(F.col(vec_col), query_vec)
     return (
         chunks.where(F.col(vec_col).isNotNull())
-        .withColumn("similarity", cosine_sim(F.col(vec_col), query_vec))
+        .withColumn("similarity", sim)
         .orderBy(F.desc("similarity"), F.asc(id_col))
         .limit(k)
     )

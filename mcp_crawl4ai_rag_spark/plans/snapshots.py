@@ -100,22 +100,25 @@ class SnapshotTable:
 
         schema = StructType.fromJson(json.loads(m["schema"]))
         part_col = m["part_col"]
-        file_schema = StructType([f for f in schema if f.name != part_col])
-        part_type = schema[part_col].dataType
         cols = [f.name for f in schema]
         wanted = (
             {str(v) for v in partitions} if partitions is not None else None
         )
-        pieces = []
-        from pyspark.sql import functions as F
-
+        # group selected partition dirs by their version dir: one scan per
+        # version dir (basePath partition discovery re-derives the partition
+        # column from the bucket=K dir names) instead of an N-way union —
+        # after seed/compaction this is a single scan
+        groups: dict = {}
         for val, path in sorted(m["partitions"].items()):
             if wanted is not None and val not in wanted:
                 continue
+            groups.setdefault(os.path.dirname(path), []).append(path)
+        pieces = []
+        for base, paths in sorted(groups.items()):
             pieces.append(
-                spark.read.schema(file_schema)
-                .parquet(path)
-                .withColumn(part_col, F.lit(val).cast(part_type))
+                spark.read.schema(schema)
+                .option("basePath", base)
+                .parquet(*paths)
                 .select(*cols)
             )
         if not pieces:
@@ -225,7 +228,15 @@ class SnapshotTable:
             "partitions": partitions,
             "schema": df.schema.json(),
             "committed_at": time.time(),
-            "extra": extra or {},
+            # per-partition lineage: which partitions this commit rewrote
+            # (the partitions map itself records each partition's data dir,
+            # i.e. the version that last produced it)
+            "extra": {
+                **(extra or {}),
+                "changed": sorted(str(v) for v in changed)
+                if changed is not None
+                else "all",
+            },
         }
         mpath = os.path.join(self.dir, f"m{new_v}.json")
         with open(mpath, "w") as f:

@@ -232,3 +232,49 @@ def generate_web(
 
     web.hosts = [(h, 1e9, 1e9) for h in hosts]  # default: unlimited budget
     return web
+
+
+class _CorpusSession:
+    """One per-partition fetch session (fake browser context)."""
+
+    def __init__(self, pages: dict):
+        import uuid
+
+        self.id = uuid.uuid4().hex
+        self.pages = pages
+        self.closed = False
+
+    def fetch_batch(self, urls):
+        return [self.pages.get(u, (404, [], [])) for u in urls]
+
+    def close(self):
+        self.closed = True
+
+
+class CorpusSessionFetcher:
+    """Injected S10 fake for ``fetch_with_partition_sessions``: partition
+    sessions backed by the synthetic corpus dict. Each factory call (one per
+    non-empty partition) mints a session with a fresh id — tests count
+    distinct ``fetch_session`` values to prove per-partition session reuse
+    (the apple_stealth_crawler.py:16-21 browser-per-worker analogue)."""
+
+    def __init__(self, corpus: dict):
+        self.pages = {
+            u: (
+                p["status_code"],
+                [
+                    {
+                        "kind": s["kind"],
+                        "text": s["text"],
+                        "media_ref": s["media_ref"],
+                        "offset": s["offset"],
+                    }
+                    for s in p["spans"]
+                ],
+                list(p["out_links"]),
+            )
+            for u, p in corpus.items()
+        }
+
+    def __call__(self):
+        return _CorpusSession(self.pages)

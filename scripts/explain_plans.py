@@ -150,6 +150,64 @@ def main() -> None:
         )
     )
 
+    # 7. pagination (W6): TakeOrderedAndProject, no single-partition sort
+    from mcp_crawl4ai_rag_spark.operators.search import paginate
+
+    pg = paginate(
+        docs.select("doc_id", "n_chars"),
+        [F.desc("n_chars"), F.asc("doc_id")],
+        limit=10,
+        offset=20,
+    )
+    sections.append(
+        (
+            "Pagination (W6): TakeOrderedAndProject(limit=offset+limit)",
+            "The table never funnels through one task: per-partition top-k "
+            "heaps feed a bounded TakeOrderedAndProject; the row_number "
+            "window that drops the offset runs on ≤ offset+limit rows.",
+            grab(pg),
+        )
+    )
+
+    # 8. merge-on-read pending view: base ∪ delta-adds, broadcast anti dels
+    import tempfile
+
+    from mcp_crawl4ai_rag_spark.plans.snapshots import SnapshotTable
+    from mcp_crawl4ai_rag_spark.streaming.continuous import _pending_view
+
+    wd = tempfile.mkdtemp(prefix="plans-mor-")
+    base_tbl = SnapshotTable(wd, "frontier_pending")
+    delta_tbl = SnapshotTable(wd, "frontier_pending_delta")
+    frontier_rows = pending.select(
+        "url",
+        F.xxhash64("url").alias("url_hash"),
+        "host",
+        "depth",
+        "priority",
+        "seq",
+        F.lit("pending").alias("state"),
+        F.lit(0).alias("attempts"),
+        F.pmod(F.xxhash64("host"), F.lit(16)).cast("int").alias("bucket"),
+    )
+    base_tbl.commit_partitioned(frontier_rows, "bucket")
+    delta_tbl.commit(
+        frontier_rows.limit(5).withColumn("op", F.lit("del")).unionByName(
+            frontier_rows.limit(3).withColumn("op", F.lit("add"))
+        )
+    )
+    sections.append(
+        (
+            "Frontier merge-on-read view: partitioned base + delta, "
+            "broadcast anti-join deletes",
+            "Per-round commits are O(batch) delta appends; the read-side "
+            "equality-delete resolution is a BroadcastHashJoin LeftAnti on "
+            "(url, seq, attempts) — the base never shuffles. The manifest's "
+            "bucket→path map gives partition-pruned scans for host-scoped "
+            "maintenance.",
+            grab(_pending_view(spark, base_tbl, delta_tbl)),
+        )
+    )
+
     out = ["# PLANS — physical-plan evidence for the hot paths\n"]
     out.append(
         "Generated by `python scripts/explain_plans.py` "

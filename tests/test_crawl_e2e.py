@@ -179,7 +179,9 @@ def test_resume_bit_for_bit(spark, tmp_path, web):
 
 
 def test_crawl_with_cuckoo_filter(spark, tmp_path):
-    """Cuckoo-filter variant (deletable seen-set) produces identical results."""
+    """Cuckoo-filter variant (deletable seen-set, distributed shard
+    maintenance, wired as the new_urls prefilter) produces identical
+    results."""
     web = generate_web(seed=7, n_hosts=4, n_pages=60, n_seeds=2)
     budgets = {h: (1e9, 1e9) for h, _, _ in web.hosts}
     sim, eng = run_pair(
@@ -192,3 +194,63 @@ def test_crawl_with_cuckoo_filter(spark, tmp_path):
         use_cuckoo=True,
     )
     assert_equivalent(sim, eng)
+    # the deletable filter is live state: resumes from its checkpoint file
+    resumed = CrawlEngine.resume(
+        spark,
+        web.corpus_df(spark),
+        web.robots_df(spark),
+        str(tmp_path / "crawl"),
+        use_bloom=False,
+        use_cuckoo=True,
+    )
+    import numpy as np
+
+    seen_hashes = np.array(
+        [r["url_hash"] for r in eng.frontier().select("url_hash").collect()],
+        dtype=np.int64,
+    )
+    assert resumed.seen_cuckoo.contains_many(seen_hashes).all()
+
+
+def test_resume_rebuilds_lost_filter_state(spark, tmp_path, web):
+    """A missing/corrupt bloom file must NOT silently resume with an empty
+    filter (re-fetch of seen URLs); it rebuilds from pending ∪ fetched and
+    the resumed crawl stays bit-for-bit equal."""
+    import json
+    import os
+
+    hosts_df = spark.createDataFrame(
+        [(h, 1e9, 1e9) for h, _, _ in web.hosts],
+        "host string, capacity double, refill_rate double",
+    )
+    corpus_df = web.corpus_df(spark)
+    robots_df = web.robots_df(spark)
+
+    full = CrawlEngine(
+        spark, corpus_df, robots_df, hosts_df, str(tmp_path / "full"), batch_size=30,
+        max_attempts=3,
+    )
+    full.seed(web.seeds)
+    full.run(max_rounds=200)
+
+    part = CrawlEngine(
+        spark, corpus_df, robots_df, hosts_df, str(tmp_path / "part"), batch_size=30,
+        max_attempts=3,
+    )
+    part.seed(web.seeds)
+    for _ in range(3):
+        part.round()
+    ck = json.load(open(str(tmp_path / "part" / "CHECKPOINT.json")))
+    os.remove(ck["bloom_path"])  # simulate lost filter state
+    resumed = CrawlEngine.resume(spark, corpus_df, robots_df, str(tmp_path / "part"))
+    assert resumed.max_attempts == 3  # retry semantics restored from checkpoint
+    resumed.run(max_rounds=200)
+    a = sorted(
+        (r["url"], r["fetch_round"], r["seq_in_round"])
+        for r in full.crawl_order().collect()
+    )
+    b = sorted(
+        (r["url"], r["fetch_round"], r["seq_in_round"])
+        for r in resumed.crawl_order().collect()
+    )
+    assert a == b

@@ -64,6 +64,77 @@ def test_sharded_cuckoo():
     assert sc.contains_many(keys[100:]).all()
 
 
+def test_sharded_cuckoo_distributed_maintenance(spark):
+    """Executor-side shard maintenance at 1e5+ keys: equivalent to the
+    sequential driver loop, deletes reclaim keys, no key list ever built on
+    the driver (inputs stay DataFrames)."""
+    n_keys = 120_000
+    new_df = spark.range(n_keys).select(F.xxhash64("id").alias("url_hash")).repartition(8)
+    dead_df = (
+        spark.range(0, n_keys, 3).select(F.xxhash64("id").alias("url_hash")).repartition(8)
+    )
+    sc0 = D.ShardedCuckoo(num_shards=8, buckets_per_shard=1 << 16)
+    # insert everything distributed
+    sc1 = D.maintain_sharded_cuckoo(spark, sc0, new_df)
+    keys = np.array([r["url_hash"] for r in new_df.collect()], dtype=np.int64)
+    assert sc1.contains_many(keys).all()
+    # original filter untouched (maintenance is functional)
+    assert not sc0.contains_many(keys[:100]).any()
+    # distributed delete pass (dead-url reclamation) — deletes before inserts
+    extra_df = (
+        spark.range(n_keys, n_keys + 1000)
+        .select(F.xxhash64("id").alias("url_hash"))
+        .repartition(4)
+    )
+    sc2 = D.maintain_sharded_cuckoo(spark, sc1, extra_df, dead_keys=dead_df)
+    dead = np.array([r["url_hash"] for r in dead_df.collect()], dtype=np.int64)
+    live = np.setdiff1d(keys, dead)
+    extra = np.array([r["url_hash"] for r in extra_df.collect()], dtype=np.int64)
+    assert sc2.contains_many(live).all()
+    assert sc2.contains_many(extra).all()
+    # deleted keys only linger as fingerprint collisions
+    assert sc2.contains_many(dead).mean() < 0.05
+    # serialization roundtrip preserves membership
+    back = D.ShardedCuckoo.from_bytes(sc2.to_bytes())
+    assert back.contains_many(live).all()
+    # equivalence vs the sequential loop on a sample
+    seq = D.ShardedCuckoo(num_shards=8, buckets_per_shard=1 << 16)
+    seq.insert_many(keys)
+    seq.delete_many(dead)
+    seq.insert_many(extra)
+    sample = np.concatenate([live[:5000], dead[:5000], extra])
+    assert (sc2.contains_many(sample) == seq.contains_many(sample)).all()
+
+
+def test_cuckoo_overflow_raises(spark):
+    tiny = D.ShardedCuckoo(num_shards=2, buckets_per_shard=1 << 4)  # 128 slots
+    many = spark.range(10_000).select(F.xxhash64("id").alias("url_hash"))
+    import pytest
+
+    with pytest.raises(Exception, match="overflow"):
+        D.maintain_sharded_cuckoo(spark, tiny, many)
+
+
+def test_new_urls_with_cuckoo(spark):
+    cands = spark.createDataFrame(
+        [(f"https://h/{i}",) for i in range(200)] + [("https://h/5",)], ["url"]
+    )
+    seen = spark.createDataFrame(
+        [(f"https://h/{i}",) for i in range(0, 200, 2)], ["url"]
+    )
+    expected = sorted(f"https://h/{i}" for i in range(1, 200, 2))
+    sc = D.maintain_sharded_cuckoo(
+        spark,
+        D.ShardedCuckoo(num_shards=4, buckets_per_shard=1 << 10),
+        seen.select(F.xxhash64("url").alias("url_hash")),
+    )
+    got = sorted(
+        r["url"]
+        for r in D.new_urls(cands, seen, cuckoo=sc, spark=spark).select("url").collect()
+    )
+    assert got == expected
+
+
 def test_distributed_bloom_build(spark):
     df = spark.range(0, 5000).select(F.xxhash64("id").alias("key")).repartition(6)
     bf = D.build_bloom(df, "key", num_bits=1 << 18)

@@ -1,0 +1,68 @@
+"""S10 production fetch seam: mapInPandas partition fetcher with
+per-partition session reuse — session accounting + e2e equality with the
+default corpus-join fetch path."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mcp_crawl4ai_rag_spark.operators.crawl import fetch_with_partition_sessions
+from mcp_crawl4ai_rag_spark.sources.synthetic_web import (
+    CorpusSessionFetcher,
+    generate_web,
+)
+
+from tests.test_crawl_e2e import assert_equivalent, run_pair
+
+
+def test_one_session_per_partition(spark):
+    web = generate_web(seed=5, n_hosts=4, n_pages=60, n_seeds=2)
+    urls = sorted(web.corpus)[:40]
+    batch = spark.createDataFrame([(u,) for u in urls], ["url"]).repartition(4)
+    fetched = fetch_with_partition_sessions(batch, CorpusSessionFetcher(web.corpus))
+    rows = fetched.collect()
+    assert len(rows) == 40
+    # exactly one session per non-empty partition, reused for every row in it
+    n_parts = batch.withColumn("p", F.spark_partition_id()).select("p").distinct().count()
+    sessions = {r["fetch_session"] for r in rows}
+    assert len(sessions) == n_parts
+    # payloads match the corpus
+    by_url = {r["url"]: r for r in rows}
+    for u in urls:
+        page = web.corpus[u]
+        assert by_url[u]["status_code"] == page["status_code"]
+        got_spans = [
+            (s["kind"], s["text"], s["media_ref"], s["offset"])
+            for s in by_url[u]["spans"]
+        ]
+        want_spans = [
+            (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in page["spans"]
+        ]
+        assert got_spans == want_spans
+        assert list(by_url[u]["out_links"]) == list(page["out_links"])
+
+
+def test_unknown_urls_get_404(spark):
+    web = generate_web(seed=5, n_hosts=3, n_pages=20, n_seeds=1)
+    batch = spark.createDataFrame([("https://nowhere.example/x",)], ["url"])
+    row = fetch_with_partition_sessions(
+        batch, CorpusSessionFetcher(web.corpus)
+    ).collect()[0]
+    assert row["status_code"] == 404
+    assert list(row["spans"]) == [] and list(row["out_links"]) == []
+
+
+def test_crawl_with_injected_fetcher_matches_oracle(spark, tmp_path):
+    """The full BFS crawl through the production fetch shape must equal the
+    simulator (and therefore the default corpus-join path) bit-for-bit."""
+    web = generate_web(seed=13, n_hosts=5, n_pages=90, n_seeds=2)
+    budgets = {h: (1e9, 1e9) for h, _, _ in web.hosts}
+    sim, eng = run_pair(
+        spark,
+        tmp_path,
+        web,
+        batch_size=25,
+        host_budgets=budgets,
+        fetcher=CorpusSessionFetcher(web.corpus),
+    )
+    assert_equivalent(sim, eng)

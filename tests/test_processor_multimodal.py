@@ -110,44 +110,72 @@ def test_media_from_spans(spark):
 
 
 def test_streaming_link_ingest(spark, tmp_path):
-    from mcp_crawl4ai_rag_spark.plans.snapshots import SnapshotTable
+    """Stream-admitted links land in the ENGINE's frontier delta, dedup
+    against pending ∪ fetched, keep the checkpoint (versions, seq_counter,
+    bloom) coherent — and a resumed CrawlEngine fetches them."""
+    from mcp_crawl4ai_rag_spark.operators.crawl import CrawlEngine
+    from mcp_crawl4ai_rag_spark.sources.synthetic_web import generate_web
     from mcp_crawl4ai_rag_spark.streaming.continuous import start_link_ingest
 
+    web = generate_web(seed=21, n_hosts=3, n_pages=40, n_seeds=2)
     workdir = str(tmp_path / "wd")
-    frontier_tbl = SnapshotTable(workdir, "frontier")
-    frontier_tbl.commit(
-        spark.createDataFrame(
-            [("https://h0.com/a", 1, "h0.com", 0, 0, 0, "pending", 0)],
-            "url string, url_hash long, host string, depth int, priority int, "
-            "seq long, state string, attempts int",
-        )
+    hosts_df = spark.createDataFrame(
+        [(h, 1e9, 1e9) for h, _, _ in web.hosts],
+        "host string, capacity double, refill_rate double",
     )
+    robots_df = web.robots_df(spark)
+    eng = CrawlEngine(
+        spark, web.corpus_df(spark), robots_df, hosts_df, workdir, batch_size=5,
+        max_attempts=3,
+    )
+    eng.seed(web.seeds)
+    eng.round()  # engine now quiesced mid-crawl
+
+    pre = {r["url"]: r["seq"] for r in eng.frontier().collect()}
+    seed_url = eng.frontier().orderBy("seq").first()["url"]
+    ok_urls = sorted(
+        u
+        for u, p in web.corpus.items()
+        if p["status_code"] == 200 and p["spans"] and u not in pre
+    )
+    streamed_new = ok_urls[:2]
+
     links_dir = tmp_path / "links"
     links_dir.mkdir()
     with open(links_dir / "batch1.json", "w") as f:
-        for href, d in [
-            ("https://H0.com/a/", 0),  # dup of existing after canonicalize
-            ("https://h0.com/b?x=1", 0),  # new
-            ("https://h1.com/chttps://h1.com/c", 0),  # malformed
-            ("https://h1.com/d#frag", 1),  # new
-        ]:
-            f.write(json.dumps({"href": href, "parent_url": "p", "depth": d}) + "\n")
-    robots = spark.createDataFrame(
-        [], "host string, rule_type string, path_prefix string, crawl_delay double"
-    )
+        recs = [
+            (seed_url, 0),  # dup of an already-seen URL → filtered
+            (streamed_new[0], 0),  # new
+            ("https://h1.com/chttps://h1.com/c", 0),  # malformed → filtered
+            (streamed_new[1] + "#frag", 1),  # new after canonicalize
+        ]
+        for i, (href, d) in enumerate(recs):
+            f.write(
+                json.dumps(
+                    {"href": href, "parent_url": "stream", "link_pos": i, "depth": d}
+                )
+                + "\n"
+            )
     q = start_link_ingest(
-        spark, str(links_dir), workdir, robots, str(tmp_path / "ckpt")
+        spark, str(links_dir), workdir, robots_df, str(tmp_path / "ckpt")
     )
     q.awaitTermination(60)
     for _ in range(20):
         if not q.isActive:
             break
         time.sleep(1)
-    got = sorted(
-        r["url"] for r in frontier_tbl.read(spark).select("url").collect()
+
+    resumed = CrawlEngine.resume(
+        spark, web.corpus_df(spark), robots_df, workdir
     )
-    assert got == [
-        "https://h0.com/a",
-        "https://h0.com/b",
-        "https://h1.com/d",
-    ]
+    post = {r["url"]: r["seq"] for r in resumed.frontier().collect()}
+    for u in streamed_new:
+        assert u in post
+    # streamed seqs continue after existing ones, no collisions
+    assert len(set(post.values())) == len(post)
+    assert resumed.seq_counter > max(pre.values())
+    # the resumed engine actually fetches the streamed URLs
+    resumed.run(max_rounds=50)
+    fetched = {r["url"] for r in resumed.crawl_order().collect()}
+    for u in streamed_new:
+        assert u in fetched

@@ -105,3 +105,33 @@ def test_rerank_deterministic(spark):
     assert r1 == r2
     r3 = [r["id"] for r in S.rerank_stub(chunks, "other query").collect()]
     assert r1 != r3  # different query reorders (overwhelmingly likely)
+
+
+def test_vector_topk_blas_dispatch_2560_dim(spark):
+    """Reference dimensionality (2560, src/embedding/config.py:24): the BLAS
+    Arrow path and the Column fold must agree; dispatch picks BLAS at 2560
+    and the fold at 64."""
+    from pyspark.sql import functions as F
+
+    from mcp_crawl4ai_rag_spark.functions.embedding import cosine_sim
+
+    dim = 2560
+    rows = [
+        (i, f"https://d/{i}", f"doc {i}", hash_embed_py(f"doc {i}", dim))
+        for i in range(30)
+    ]
+    chunks = spark.createDataFrame(
+        rows, "id int, url string, content string, embedding array<float>"
+    )
+    q = embed_query_py("big vectors", dim)
+    assert dim >= S.BLAS_DIM_THRESHOLD  # dispatch sanity
+    got = S.vector_topk(chunks, q, k=8).collect()  # BLAS path
+    fold = (
+        chunks.withColumn("similarity", cosine_sim(F.col("embedding"), q))
+        .orderBy(F.desc("similarity"), F.asc("id"))
+        .limit(8)
+        .collect()
+    )
+    assert [r["id"] for r in got] == [r["id"] for r in fold]
+    for a, b in zip(got, fold):
+        assert abs(a["similarity"] - b["similarity"]) < 1e-9
