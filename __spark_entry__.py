@@ -599,10 +599,16 @@ def q_vector_topk_2560(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from mcp_crawl4ai_rag_spark.operators.search import vector_topk
 
-    d = _t(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("id"),
-        _doc_url(F.col("source"), F.col("doc_id")).alias("url"),
-        F.col("text").alias("content"),
+    d = (
+        _t(spark, sf_dir, "documents")
+        # 1-in-5 subset: the hash-embedding stand-in (per-row RNG) dominates
+        # otherwise; the BLAS cosine + top-k under test are unaffected
+        .where(F.col("doc_id") % 5 == 0)
+        .select(
+            F.col("doc_id").alias("id"),
+            _doc_url(F.col("source"), F.col("doc_id")).alias("url"),
+            F.col("text").alias("content"),
+        )
     )
     emb = make_hash_embed_udf(2560)
     chunks = d.withColumn("embedding", emb(F.col("content")))

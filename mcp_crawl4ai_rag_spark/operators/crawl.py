@@ -150,6 +150,7 @@ class CrawlEngine:
         host_buckets: int = 16,
         compact_every: int = 8,
         fetcher=None,
+        rank_window_threshold: int = 10_000,
     ):
         self.spark = spark
         self.corpus = corpus
@@ -167,6 +168,9 @@ class CrawlEngine:
         # S10 seam: None → sandbox corpus broadcast join; a factory →
         # fetch_with_partition_sessions (the production HTTP/browser shape)
         self.fetcher = fetcher
+        # batches at or below this use the bounded window for link-seq
+        # assignment; above it, the two-stage distributed rank
+        self.rank_window_threshold = rank_window_threshold
 
         # Frontier layout (the Iceberg v2 merge-on-read design at 10^10
         # scale): `pending` = host-bucket-partitioned BASE (rewritten only
@@ -597,11 +601,22 @@ class CrawlEngine:
             cuckoo=self.seen_cuckoo,
             spark=self.spark,
         )
-        # discovery-order seq via the two-stage distributed rank — no
-        # single-partition window even when a round discovers 10^7 links
-        ranked, pinned = with_global_rank(
-            fresh, ["pop_rank", "link_pos"], rank_col="__rank"
-        )
+        # discovery-order seq assignment. Size-aware dispatch: a round's new
+        # links are bounded by batch_size × out_degree, so small batches use
+        # the bounded single-window rank (one fewer job — the window input
+        # is driver-page-sized); large batches use the two-stage distributed
+        # rank so 10^7 links never funnel through one task. Both produce the
+        # identical total order (pop_rank, link_pos).
+        if self.batch_size <= self.rank_window_threshold:
+            ranked = fresh.withColumn(
+                "__rank",
+                F.row_number().over(Window.orderBy("pop_rank", "link_pos")) - 1,
+            )
+            pinned = None
+        else:
+            ranked, pinned = with_global_rank(
+                fresh, ["pop_rank", "link_pos"], rank_col="__rank"
+            )
         new_rows = (
             ranked.select(
                 "url",
@@ -710,7 +725,8 @@ class CrawlEngine:
         popped.unpersist()
         enriched.unpersist()
         new_rows.unpersist()
-        pinned.unpersist()
+        if pinned is not None:
+            pinned.unpersist()
         return m
 
     def run(self, max_rounds: int = 1000) -> list[dict]:

@@ -96,9 +96,14 @@ def web():
 
 
 def test_crawl_matches_oracle_fifo(spark, tmp_path, web):
-    """Unlimited politeness → pure FIFO (reference semantics)."""
+    """Unlimited politeness → pure FIFO (reference semantics).
+    rank_window_threshold=0 forces the two-stage distributed seq rank (the
+    10^7-links-per-round path) — its total order must equal the oracle's."""
     budgets = {h: (1e9, 1e9) for h, _, _ in web.hosts}
-    sim, eng = run_pair(spark, tmp_path, web, batch_size=30, host_budgets=budgets)
+    sim, eng = run_pair(
+        spark, tmp_path, web, batch_size=30, host_budgets=budgets,
+        rank_window_threshold=0,
+    )
     assert_equivalent(sim, eng)
     # sanity: the crawl actually did something non-trivial
     assert len(sim.documents) > 30
