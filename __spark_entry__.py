@@ -507,6 +507,22 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: the MATERIALIZED IVF path — build the cell-partitioned
+    index table (commit_partitioned, manifest cell→path map), query via
+    partition-pruned scans of the nprobe nearest cells + BLAS cosine."""
+    import tempfile
+
+    from mcp_crawl4ai_rag_spark.operators.similarity import IVFIndex
+
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = IVFIndex(tempfile.mkdtemp(prefix="entry-ivf-"), "ivf").build(emb, nlist=8)
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 3).first()["embedding"]]
+    return idx.query(spark, qvec, k=10, nprobe=3).select(
+        "vec_id", F.round("cosine", 6).alias("cosine"), "cell"
+    )
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mcp_crawl4ai_rag_spark.operators.multimodal import decode_media
 
@@ -720,6 +736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "ivf_ann": q_ivf_ann,
+        "ivf_index": q_ivf_index,
         "multimodal_decode": q_multimodal_decode,
         "hash_embed": q_hash_embed,
         "vector_topk_2560": q_vector_topk_2560,

@@ -118,3 +118,73 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select(query_id, item_id, "cosine", "rank")
     )
+
+
+class IVFIndex:
+    """Materialized IVF index: items stored cell-partitioned so queries do
+    true partition pruning — the scale path the join-based ``ivf_topk``
+    only simulates.
+
+    build(): one distributed assignment pass writes the item table
+    partitioned by nearest-centroid cell (SnapshotTable.commit_partitioned
+    → manifest cell→path map); centroids persist beside the manifest.
+    query(): probes the nprobe nearest cells — ONLY those partitions'
+    files are opened (the unread cells are never listed in the scan) —
+    then exact BLAS cosine + top-k inside the probed slice. A query
+    touches ~nprobe/nlist of the data at any scale.
+    """
+
+    def __init__(self, workdir: str, name: str = "ivf"):
+        import os
+
+        from mcp_crawl4ai_rag_spark.plans.snapshots import SnapshotTable
+
+        self.table = SnapshotTable(workdir, name)
+        self.centroid_path = os.path.join(self.table.dir, "centroids.npy")
+
+    def build(
+        self,
+        items: DataFrame,
+        nlist: int = 16,
+        item_id: str = "vec_id",
+        item_vec: str = "embedding",
+    ) -> "IVFIndex":
+        centroids = _sample_centroids(items, nlist, item_vec)
+        assign = make_centroid_assign_udf(centroids, 1)
+        bucketed = items.select(item_id, item_vec).withColumn(
+            "cell", assign(F.col(item_vec))[0]
+        )
+        self.table.commit_partitioned(bucketed, "cell")
+        with open(self.centroid_path, "wb") as f:
+            np.save(f, centroids)
+        return self
+
+    def centroids(self) -> np.ndarray:
+        with open(self.centroid_path, "rb") as f:
+            return np.load(f)
+
+    def query(
+        self,
+        spark,
+        query_vec: list,
+        k: int = 5,
+        nprobe: int = 4,
+        item_id: str = "vec_id",
+        item_vec: str = "embedding",
+    ) -> DataFrame:
+        from mcp_crawl4ai_rag_spark.functions.embedding import make_cosine_batch_udf
+
+        centroids = self.centroids()
+        q = np.asarray(query_vec, dtype=np.float64)
+        qn = np.linalg.norm(q)
+        sims = centroids @ (q / (qn if qn else 1.0))
+        cells = [int(c) for c in np.argsort(-sims)[:nprobe]]
+        # partition-pruned scan: only the probed cells' files are read
+        candidates = self.table.read(spark, partitions=cells)
+        cos = make_cosine_batch_udf(list(query_vec))
+        return (
+            candidates.withColumn("cosine", cos(F.col(item_vec)))
+            .orderBy(F.desc("cosine"), F.asc(item_id))
+            .limit(k)
+            .select(item_id, "cosine", "cell")
+        )

@@ -1,0 +1,99 @@
+"""robots.txt parsing → rules table → politeness evaluation, end to end."""
+
+from __future__ import annotations
+
+from mcp_crawl4ai_rag_spark.operators.politeness import (
+    hosts_from_robots,
+    robots_allowed,
+    with_host_and_path,
+)
+from mcp_crawl4ai_rag_spark.sources.robots import (
+    parse_robots_text,
+    read_robots_dir,
+)
+
+ROBOTS = """\
+# comment line
+User-agent: googlebot
+Disallow: /google-only/
+
+User-agent: mybot
+User-agent: otherbot
+Disallow: /private/
+Allow: /private/open/
+Crawl-delay: 2.5
+
+User-agent: *
+Disallow: /all-blocked/
+"""
+
+
+def test_group_selection_most_specific():
+    # exact agent group wins over *
+    rules = parse_robots_text(ROBOTS, agent="mybot")
+    assert ("disallow", "/private/", rules[0][2]) == rules[0]
+    assert [(t, p) for t, p, _ in rules] == [
+        ("disallow", "/private/"),
+        ("allow", "/private/open/"),
+        ("crawl-delay", ""),
+    ]
+    # stacked user-agent lines share the group
+    assert [(t, p) for t, p, _ in parse_robots_text(ROBOTS, agent="otherbot")][:2] == [
+        ("disallow", "/private/"),
+        ("allow", "/private/open/"),
+    ]
+    # unknown agent falls back to *
+    assert [(t, p) for t, p, _ in parse_robots_text(ROBOTS, agent="nobody")] == [
+        ("disallow", "/all-blocked/")
+    ]
+    # prefix agent match ("googlebot-images" startswith "googlebot")
+    assert [(t, p) for t, p, _ in parse_robots_text(ROBOTS, agent="googlebot-images")] == [
+        ("disallow", "/google-only/")
+    ]
+    # empty file / no groups → allow-all
+    assert parse_robots_text("", agent="mybot") == []
+
+
+def test_empty_disallow_means_allow_all():
+    txt = "User-agent: *\nDisallow:\n"
+    assert parse_robots_text(txt) == []
+
+
+def test_read_robots_dir_to_politeness(spark, tmp_path):
+    (tmp_path / "h1.com.txt").write_text(ROBOTS)
+    (tmp_path / "h2.com.txt").write_text("User-agent: *\nDisallow: /\nAllow: /docs/\n")
+    rules = read_robots_dir(spark, str(tmp_path), agent="mybot")
+    rows = {
+        (r["host"], r["rule_type"], r["path_prefix"], r["crawl_delay"])
+        for r in rules.collect()
+    }
+    assert ("h1.com", "disallow", "/private/", 2.5) in rows
+    assert ("h1.com", "allow", "/private/open/", 2.5) in rows
+    assert ("h1.com", "allow", "", 2.5) in rows  # crawl-delay carrier
+    assert ("h2.com", "disallow", "/", 0.0) in rows
+
+    # evaluation: longest-prefix-match over the parsed table
+    urls = spark.createDataFrame(
+        [
+            ("https://h1.com/private/x",),  # blocked
+            ("https://h1.com/private/open/y",),  # re-allowed
+            ("https://h1.com/public",),  # no match → allow
+            ("https://h2.com/docs/z",),  # allow overrides /
+            ("https://h2.com/else",),  # blocked by /
+        ],
+        ["url"],
+    )
+    got = sorted(
+        r["url"]
+        for r in robots_allowed(with_host_and_path(urls), rules).collect()
+    )
+    assert got == [
+        "https://h1.com/private/open/y",
+        "https://h1.com/public",
+        "https://h2.com/docs/z",
+    ]
+
+    # crawl-delay → token bucket rates (1 fetch / 2.5 s)
+    hosts = {r["host"]: r["refill_rate"] for r in hosts_from_robots(rules).collect()}
+    assert abs(hosts["h1.com"] - 1.0 / 2.5) < 1e-9
+    assert hosts["h2.com"] == 1.0  # no delay → default rate
