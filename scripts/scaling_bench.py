@@ -123,8 +123,19 @@ executors.
 ```
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(md)
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # preserve sections other tools appended (crawl-loop, spark-submit):
+    # everything from the first heading this script does not own
+    tail = ""
+    if os.path.exists(path):
+        old = open(path).read()
+        idx = old.find("\n## End-to-end BFS crawl loop")
+        if idx < 0:
+            idx = old.find("\n## spark-submit packaging")
+        if idx >= 0:
+            tail = old[idx:]
+    with open(path, "w") as f:
+        f.write(md.rstrip("\n") + "\n" + tail)
     print(md)
 
 
