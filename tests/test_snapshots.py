@@ -54,3 +54,65 @@ def test_checkpoint_roundtrip(tmp_path):
     p = ck.save_filter(3, b"\x01\x02")
     with open(p, "rb") as f:
         assert f.read() == b"\x01\x02"
+
+
+def test_partitioned_commit_carryover_and_pruned_read(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = SnapshotTable(str(tmp_path), "p")
+    df = spark.range(100).select(
+        "id", F.pmod("id", F.lit(4)).cast("int").alias("bucket")
+    )
+    t.commit_partitioned(df, "bucket")
+    # replace only bucket 1; bucket 1 shrinks, others carry over untouched
+    repl = spark.range(5).select(
+        (F.col("id") + 1000).alias("id"), F.lit(1).cast("int").alias("bucket")
+    )
+    info = t.commit_partitioned(repl, "bucket", changed=[1])
+    assert info.version == 2
+    cur = t.read(spark)
+    assert cur.where("bucket = 1").count() == 5
+    assert cur.where("bucket != 1").count() == 75
+    # manifest lineage: exactly bucket 1 changed
+    import json
+    import os
+
+    m = json.load(open(os.path.join(str(tmp_path), "p", "MANIFEST.json")))
+    assert m["extra"]["changed"] == ["1"]
+    srcs = {k: v.split("/")[-2] for k, v in m["partitions"].items()}
+    assert srcs["1"] == "d2" and all(v == "d1" for k, v in srcs.items() if k != "1")
+    # pruned read touches only the requested buckets
+    assert t.read(spark, partitions=[0, 2]).count() == 50
+    # a changed bucket with zero surviving rows disappears
+    t.commit_partitioned(
+        spark.createDataFrame([], repl.schema), "bucket", changed=[1]
+    )
+    assert sorted(t.read(spark).select("bucket").distinct().toPandas()["bucket"]) == [0, 2, 3]
+
+
+def test_partitioned_expiry_gcs_dead_subdirs(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    t = SnapshotTable(str(tmp_path), "p")
+    df = spark.range(40).select(
+        "id", F.pmod("id", F.lit(2)).cast("int").alias("bucket")
+    )
+    t.commit_partitioned(df, "bucket")
+    for v in range(2, 6):
+        repl = spark.range(3).select(
+            (F.col("id") + v * 100).alias("id"), F.lit(0).cast("int").alias("bucket")
+        )
+        t.commit_partitioned(repl, "bucket", changed=[0])
+    t.expire_snapshots(keep=1)
+    # d1 is partially live: bucket=1 still referenced, bucket=0 superseded
+    d1 = os.path.join(str(tmp_path), "p", "d1")
+    assert os.path.isdir(os.path.join(d1, "bucket=1"))
+    assert not os.path.exists(os.path.join(d1, "bucket=0"))
+    # intermediate rewrites fully dead
+    assert not os.path.exists(os.path.join(str(tmp_path), "p", "d2"))
+    # table still reads correctly
+    cur = t.read(spark)
+    assert cur.where("bucket = 1").count() == 20
+    assert cur.where("bucket = 0").count() == 3
