@@ -492,6 +492,46 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_duplicates(d, "text", "doc_id", max_hamming=6)
 
 
+def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: winnowing-fingerprint near-dup (the MOSS rolling-hash
+    local fingerprints — position-robust, unlike the global md5). Input is
+    documents ∪ deterministically mutated copies (one word changed), so
+    true near-dup pairs exist; each original must pair with its mutant."""
+    from mcp_crawl4ai_rag_spark.operators.dedup import winnow_near_duplicates
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 7 == 0)
+    mutated = d.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.regexp_replace(F.col("text"), r"^(\S+)", "MUTATED").alias("text"),
+    )
+    both = d.select("doc_id", "text").unionByName(mutated)
+    # testdata documents share templated sentences, so low-overlap pairs
+    # are boilerplate noise; a real near-dup keeps most fingerprints
+    return (
+        winnow_near_duplicates(both, "text", "doc_id", min_shared=3)
+        .where(F.col("overlap") >= 0.5)
+        .select("id_a", "id_b", "shared", "overlap")
+    )
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: embedding-cosine near-dup via sign-random-projection
+    buckets + exact verify, over embeddings ∪ slightly-perturbed copies."""
+    from mcp_crawl4ai_rag_spark.operators.dedup import embedding_near_duplicates
+
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") % 9 == 0)
+    near = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda v: (v * 0.999 + 0.0001).cast("float")
+        ).alias("embedding"),
+    )
+    both = emb.select("vec_id", "embedding").unionByName(near)
+    return embedding_near_duplicates(both, "embedding", "vec_id", threshold=0.98).select(
+        "id_a", "id_b", F.round("cos", 6).alias("cos")
+    )
+
+
 def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mcp_crawl4ai_rag_spark.operators.similarity import ivf_topk
 
@@ -735,6 +775,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c3_media_chunker": q_c3_media_chunker,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_winnow": q_dedup_winnow,
+        "dedup_embedding": q_dedup_embedding,
         "ivf_ann": q_ivf_ann,
         "ivf_index": q_ivf_index,
         "multimodal_decode": q_multimodal_decode,

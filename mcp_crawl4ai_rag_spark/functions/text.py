@@ -11,6 +11,7 @@ __spark_entry__.oracle_sql for the DuckDB correctness gate.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -82,3 +83,57 @@ def fingerprint(col: Column) -> Column:
     """Document fingerprint: md5 of whitespace-normalized lowercase text —
     the exact-dedup key."""
     return F.md5(F.regexp_replace(F.lower(F.trim(col)), r"\s+", " "))
+
+
+def winnow_fingerprints_py(
+    text: str, k: int = 8, window: int = 6
+) -> list[int]:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD
+    '03 — the MOSS algorithm): rolling Rabin-Karp hash over character
+    k-grams of the normalized text, then the minimum hash of each sliding
+    window of ``window`` consecutive k-gram hashes (rightmost min wins).
+    Guarantees any shared substring of length >= k + window - 1 yields at
+    least one shared fingerprint — the local, position-robust complement
+    to the global md5 ``fingerprint``."""
+    import re
+
+    s = re.sub(r"\s+", " ", (text or "").lower().strip())
+    n = len(s)
+    if n < k:
+        return []
+    base = 257
+    mod = (1 << 61) - 1
+    power = pow(base, k - 1, mod)
+    h = 0
+    hashes = []
+    for i, ch in enumerate(s):
+        h = (h * base + ord(ch)) % mod
+        if i >= k:
+            h = (h - ord(s[i - k]) * power * base) % mod
+        if i >= k - 1:
+            hashes.append(h)
+    out = []
+    prev_pick = -1
+    for w0 in range(0, len(hashes) - window + 1):
+        seg = hashes[w0 : w0 + window]
+        m = min(seg)
+        # rightmost occurrence of the min in the window
+        pick = w0 + max(i for i, v in enumerate(seg) if v == m)
+        if pick != prev_pick:
+            out.append(hashes[pick])
+            prev_pick = pick
+    if not out and hashes:
+        out = [min(hashes)]
+    # int64 range for Spark array<bigint>
+    return [v - (1 << 62) if v >= (1 << 62) else v for v in out]
+
+
+def make_winnow_udf(k: int = 8, window: int = 6):
+    """Pandas UDF: text → array<bigint> winnowing fingerprints."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<bigint>")
+    def winnow(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: winnow_fingerprints_py(t, k, window))
+
+    return winnow

@@ -725,3 +725,52 @@ def embedding_near_duplicates(
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+def winnow_near_duplicates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    window: int = 6,
+    min_shared: int = 3,
+) -> DataFrame:
+    """Near-dup pairs via shared winnowing fingerprints (the MOSS shape):
+    docs explode to (fingerprint, id) postings, the self-join on the
+    fingerprint is the inverted index, pairs sharing >= min_shared
+    fingerprints survive. Returns (id_a, id_b, shared, overlap) with
+    overlap = shared / min(|fp_a|, |fp_b|).
+
+    Scale notes: postings shuffle on the 61-bit fingerprint — uniform, no
+    skew; a stop-fingerprint guard drops fingerprints shared by more than
+    1000 docs (boilerplate) before the pair join, bounding the quadratic
+    blowup exactly like common-token filtering in MinHash pipelines.
+    """
+    from mcp_crawl4ai_rag_spark.functions.text import make_winnow_udf
+
+    fps = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(make_winnow_udf(k, window)(F.col(text_col))).alias("fp"),
+    ).dropDuplicates(["id", "fp"])
+    sizes = fps.groupBy("id").agg(F.count("*").alias("n_fp"))
+    # boilerplate guard: a fingerprint present in >1000 docs pairs
+    # quadratically and carries no near-dup signal
+    hot = fps.groupBy("fp").agg(F.count("*").alias("df")).where(F.col("df") > 1000)
+    fps = fps.join(F.broadcast(hot.select("fp")), "fp", "left_anti")
+    l, r = fps.alias("l"), fps.alias("r")
+    pairs = (
+        l.join(r, (F.col("l.fp") == F.col("r.fp")) & (F.col("l.id") < F.col("r.id")))
+        .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .agg(F.count("*").alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_fp", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_fp", "n_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "shared",
+            F.round(F.col("shared") / F.least("n_a", "n_b"), 6).alias("overlap"),
+        )
+    )

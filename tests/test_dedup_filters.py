@@ -209,3 +209,22 @@ def test_embedding_near_duplicates(spark):
     df = spark.createDataFrame([(1, v1), (2, v2), (3, v3)], "id int, vec array<float>")
     pairs = D.embedding_near_duplicates(df, "vec", "id", threshold=0.99).collect()
     assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
+
+
+def test_winnow_near_duplicates(spark):
+    from mcp_crawl4ai_rag_spark.functions.text import winnow_fingerprints_py
+
+    base = " ".join(f"sentence number {i} about spark shuffles." for i in range(40))
+    # same doc with a small edit in the middle — local fingerprints survive
+    near = base.replace("number 20", "number twenty")
+    # shares only boilerplate-free structure, different content
+    far = " ".join(f"totally different line {i} regarding parquet files." for i in range(40))
+    df = spark.createDataFrame([(1, base), (2, near), (3, far)], ["id", "text"])
+    pairs = D.winnow_near_duplicates(df, "text", "id", min_shared=3).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
+    assert pairs[0]["overlap"] > 0.7
+    # guarantee property: shared substring >= k + window - 1 chars yields
+    # at least one shared fingerprint
+    a = set(winnow_fingerprints_py(base))
+    b = set(winnow_fingerprints_py(near))
+    assert a & b
