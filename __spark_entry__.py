@@ -508,7 +508,7 @@ def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     # testdata documents share templated sentences, so low-overlap pairs
     # are boilerplate noise; a real near-dup keeps most fingerprints
     return (
-        winnow_near_duplicates(both, "text", "doc_id", min_shared=3)
+        winnow_near_duplicates(both, "text", "doc_id", min_shared=3, max_df=20)
         .where(F.col("overlap") >= 0.5)
         .select("id_a", "id_b", "shared", "overlap")
     )

@@ -734,6 +734,7 @@ def winnow_near_duplicates(
     k: int = 8,
     window: int = 6,
     min_shared: int = 3,
+    max_df: int = 1000,
 ) -> DataFrame:
     """Near-dup pairs via shared winnowing fingerprints (the MOSS shape):
     docs explode to (fingerprint, id) postings, the self-join on the
@@ -741,21 +742,27 @@ def winnow_near_duplicates(
     fingerprints survive. Returns (id_a, id_b, shared, overlap) with
     overlap = shared / min(|fp_a|, |fp_b|).
 
-    Scale notes: postings shuffle on the 61-bit fingerprint — uniform, no
-    skew; a stop-fingerprint guard drops fingerprints shared by more than
-    1000 docs (boilerplate) before the pair join, bounding the quadratic
-    blowup exactly like common-token filtering in MinHash pipelines.
+    Scale notes: postings shuffle on the 64-bit fingerprint — uniform, no
+    skew; the stop-fingerprint guard drops fingerprints shared by more
+    than ``max_df`` docs (boilerplate) before the pair join — each such
+    fingerprint would contribute C(df,2) pairs and carries no pair-local
+    signal, exactly like common-token filtering in MinHash pipelines.
+    Tune max_df down hard (10-50) on templated corpora.
     """
     from mcp_crawl4ai_rag_spark.functions.text import make_winnow_udf
 
-    fps = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(make_winnow_udf(k, window)(F.col(text_col))).alias("fp"),
-    ).dropDuplicates(["id", "fp"])
+    fps = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(make_winnow_udf(k, window)(F.col(text_col))).alias("fp"),
+        )
+        .dropDuplicates(["id", "fp"])
+        .cache()  # consumed by sizes, the guard, and both join sides
+    )
     sizes = fps.groupBy("id").agg(F.count("*").alias("n_fp"))
     # boilerplate guard: a fingerprint present in >1000 docs pairs
     # quadratically and carries no near-dup signal
-    hot = fps.groupBy("fp").agg(F.count("*").alias("df")).where(F.col("df") > 1000)
+    hot = fps.groupBy("fp").agg(F.count("*").alias("df")).where(F.col("df") > max_df)
     fps = fps.join(F.broadcast(hot.select("fp")), "fp", "left_anti")
     l, r = fps.alias("l"), fps.alias("r")
     pairs = (
