@@ -740,7 +740,11 @@ def winnow_near_duplicates(
     docs explode to (fingerprint, id) postings, the self-join on the
     fingerprint is the inverted index, pairs sharing >= min_shared
     fingerprints survive. Returns (id_a, id_b, shared, overlap) with
-    overlap = shared / min(|fp_a|, |fp_b|).
+    overlap = shared / min(|fp_a|, |fp_b|) counted over *informative*
+    fingerprints (those surviving the max_df guard), so the threshold a
+    caller puts on overlap is insensitive to how much boilerplate the
+    corpus shares — and to corpus size, which changes how many
+    fingerprints the guard removes.
 
     Scale notes: postings shuffle on the 64-bit fingerprint — uniform, no
     skew; the stop-fingerprint guard drops fingerprints shared by more
@@ -751,19 +755,25 @@ def winnow_near_duplicates(
     """
     from mcp_crawl4ai_rag_spark.functions.text import make_winnow_udf
 
-    fps = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.explode(make_winnow_udf(k, window)(F.col(text_col))).alias("fp"),
+    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    # the winnow UDF dominates this plan — make sure it runs on every core
+    # (a small union/scan often arrives as 1-2 partitions)
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < target:
+        src = src.repartition(target, "id")
+    raw = (
+        src.select(
+            "id",
+            F.explode(make_winnow_udf(k, window)(F.col("t"))).alias("fp"),
         )
         .dropDuplicates(["id", "fp"])
-        .cache()  # consumed by sizes, the guard, and both join sides
+        .cache()  # postings feed the guard, sizes, and both join sides
     )
-    sizes = fps.groupBy("id").agg(F.count("*").alias("n_fp"))
-    # boilerplate guard: a fingerprint present in >1000 docs pairs
+    # boilerplate guard: a fingerprint present in >max_df docs pairs
     # quadratically and carries no near-dup signal
-    hot = fps.groupBy("fp").agg(F.count("*").alias("df")).where(F.col("df") > max_df)
-    fps = fps.join(F.broadcast(hot.select("fp")), "fp", "left_anti")
+    hot = raw.groupBy("fp").agg(F.count("*").alias("df")).where(F.col("df") > max_df)
+    fps = raw.join(F.broadcast(hot.select("fp")), "fp", "left_anti")
+    sizes = fps.groupBy("id").agg(F.count("*").alias("n_fp"))
     l, r = fps.alias("l"), fps.alias("r")
     pairs = (
         l.join(r, (F.col("l.fp") == F.col("r.fp")) & (F.col("l.id") < F.col("r.id")))
