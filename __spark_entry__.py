@@ -485,6 +485,38 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-shingle n-gram Jaccard (the dedup family's verify
+    kernel) as pure Column expressions — JVM-side shingling +
+    array_intersect/array_union, oracle-checked against DuckDB list
+    algebra. Each kept doc pairs with (a) a one-word mutant of itself
+    (near-dup, high score) and (b) the next kept doc (unrelated)."""
+    from mcp_crawl4ai_rag_spark.functions.text import ngram_jaccard
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    mut = d.select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), r"^(\S+)", "MUTATED").alias("text_b"),
+    )
+    nxt = d.select(
+        (F.col("doc_id") - 5).alias("doc_id"), F.col("text").alias("text_b")
+    )
+    pairs = (
+        d.join(mut, "doc_id")
+        .select("doc_id", F.lit("mutant").alias("kind"), "text", "text_b")
+        .unionByName(
+            d.join(nxt, "doc_id").select(
+                "doc_id", F.lit("next").alias("kind"), "text", "text_b"
+            )
+        )
+    )
+    return pairs.select(
+        "doc_id",
+        "kind",
+        F.round(ngram_jaccard(F.col("text"), F.col("text_b"), 5), 6).alias("jaccard"),
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mcp_crawl4ai_rag_spark.operators.dedup import simhash_near_duplicates
 
@@ -773,6 +805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (non-SQL-expressible): chunkers, LSH, IVF, multimodal
         "c1_smart_chunker": q_c1_smart_chunker,
         "c3_media_chunker": q_c3_media_chunker,
+        "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "dedup_winnow": q_dedup_winnow,
@@ -964,6 +997,43 @@ def oracle_sql() -> dict[str, str]:
                 ELSE FALSE END AS is_dead
               FROM events) t
             GROUP BY is_dead
+        """,
+        "dedup_jaccard": r"""
+            WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+            pairs AS (
+              SELECT doc_id, 'mutant' AS kind, text AS ta,
+                     regexp_replace(text, '^(\S+)', 'MUTATED') AS tb FROM docs
+              UNION ALL
+              SELECT a.doc_id, 'next', a.text, b.text
+              FROM docs a JOIN docs b ON b.doc_id = a.doc_id + 5
+            ),
+            sides AS (
+              SELECT doc_id, kind, 'a' AS side, ta AS t FROM pairs
+              UNION ALL
+              SELECT doc_id, kind, 'b', tb FROM pairs
+            ),
+            sh AS (
+              SELECT doc_id, kind, side,
+                list_distinct(CASE
+                  WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+                  WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+                  ELSE [array_to_string(toks[i + 1 : i + 5], ' ')
+                        for i in range(len(toks) - 4)]
+                END) AS s
+              FROM (SELECT doc_id, kind, side,
+                      list_filter(string_split_regex(LOWER(t), '\s+'),
+                                  x -> x <> '') AS toks
+                    FROM sides)
+            )
+            SELECT a.doc_id, a.kind,
+              ROUND(CASE
+                WHEN len(a.s) = 0 AND len(b.s) = 0 THEN 1.0
+                WHEN len(a.s) = 0 OR len(b.s) = 0 THEN 0.0
+                ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                     / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE)
+              END, 6) AS jaccard
+            FROM sh a JOIN sh b USING (doc_id, kind)
+            WHERE a.side = 'a' AND b.side = 'b'
         """,
         "dedup_exact": r"""
             SELECT md5(regexp_replace(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS fp,

@@ -137,3 +137,42 @@ def make_winnow_udf(k: int = 8, window: int = 6):
         return texts.map(lambda t: winnow_fingerprints_py(t, k, window))
 
     return winnow
+
+
+def word_shingles(col: Column, k: int = 5) -> Column:
+    """Word k-shingles as an array<string> Column — the pure-JVM twin of
+    the Python ``_shingle_hashes`` tokenization (operators/dedup.py):
+    lowercase, split on whitespace, join each k-token window with single
+    spaces. Shorter-than-k texts collapse to one shingle (the whole
+    token list); empty/blank texts yield an empty array."""
+    toks = F.filter(
+        F.split(F.lower(col), r"\s+", -1), lambda t: F.length(t) > 0
+    )
+    n = F.size(toks)
+    windows = F.transform(
+        F.sequence(F.lit(1), n - F.lit(k) + 1),
+        lambda i: F.array_join(F.slice(toks, i, k), " "),
+    )
+    return (
+        F.when(n == 0, F.array().cast("array<string>"))
+        .when(n < k, F.array(F.array_join(toks, " ")))
+        .otherwise(windows)
+    )
+
+
+def ngram_jaccard(a: Column, b: Column, k: int = 5) -> Column:
+    """Exact word-k-shingle Jaccard similarity between two text Columns,
+    entirely in Column expressions (array_intersect/array_union inside
+    whole-stage codegen — no Python in the verify hot path). Matches the
+    pandas-UDF kernel ``make_ngram_jaccard_udf`` exactly when blake2b
+    shingle-hash collisions are absent (64-bit hashes: negligible).
+    Both-empty pairs score 1.0, one-empty pairs 0.0."""
+    sa = F.array_distinct(word_shingles(a, k))
+    sb = F.array_distinct(word_shingles(b, k))
+    inter = F.size(F.array_intersect(sa, sb))
+    union = F.size(F.array_union(sa, sb))
+    return (
+        F.when((F.size(sa) == 0) & (F.size(sb) == 0), F.lit(1.0))
+        .when((F.size(sa) == 0) | (F.size(sb) == 0), F.lit(0.0))
+        .otherwise(inter.cast("double") / union.cast("double"))
+    )

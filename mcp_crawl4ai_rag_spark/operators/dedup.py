@@ -595,9 +595,14 @@ def near_duplicates_minhash(
         cands.join(texts.withColumnRenamed("id", "id_a").withColumnRenamed("text", "text_a"), "id_a")
         .join(texts.withColumnRenamed("id", "id_b").withColumnRenamed("text", "text_b"), "id_b")
     )
-    jac = make_ngram_jaccard_udf(shingle_k)
+    # exact verify runs JVM-side (Column shingles + array_intersect inside
+    # codegen) — the pandas-UDF kernel stays available as the test oracle
+    from mcp_crawl4ai_rag_spark.functions.text import ngram_jaccard
+
     return (
-        joined.withColumn("jaccard", jac(F.col("text_a"), F.col("text_b")))
+        joined.withColumn(
+            "jaccard", ngram_jaccard(F.col("text_a"), F.col("text_b"), shingle_k)
+        )
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
