@@ -160,15 +160,15 @@ def word_shingles(col: Column, k: int = 5) -> Column:
     )
 
 
-def ngram_jaccard(a: Column, b: Column, k: int = 5) -> Column:
-    """Exact word-k-shingle Jaccard similarity between two text Columns,
-    entirely in Column expressions (array_intersect/array_union inside
-    whole-stage codegen — no Python in the verify hot path). Matches the
-    pandas-UDF kernel ``make_ngram_jaccard_udf`` exactly when blake2b
-    shingle-hash collisions are absent (64-bit hashes: negligible).
-    Both-empty pairs score 1.0, one-empty pairs 0.0."""
-    sa = F.array_distinct(word_shingles(a, k))
-    sb = F.array_distinct(word_shingles(b, k))
+def word_shingle_set(col: Column, k: int = 5) -> Column:
+    """Distinct word k-shingles — precompute this per document BEFORE a
+    pair join so shingling runs once per doc, not once per pair."""
+    return F.array_distinct(word_shingles(col, k))
+
+
+def jaccard_from_shingle_sets(sa: Column, sb: Column) -> Column:
+    """Jaccard over two precomputed shingle-set columns. Both-empty pairs
+    score 1.0, one-empty pairs 0.0."""
     inter = F.size(F.array_intersect(sa, sb))
     union = F.size(F.array_union(sa, sb))
     return (
@@ -176,3 +176,18 @@ def ngram_jaccard(a: Column, b: Column, k: int = 5) -> Column:
         .when((F.size(sa) == 0) | (F.size(sb) == 0), F.lit(0.0))
         .otherwise(inter.cast("double") / union.cast("double"))
     )
+
+
+def ngram_jaccard(a: Column, b: Column, k: int = 5) -> Column:
+    """Exact word-k-shingle Jaccard similarity between two text Columns,
+    entirely in Column expressions (array_intersect/array_union inside
+    whole-stage codegen — no Python in the verify hot path). Matches the
+    pandas-UDF kernel ``make_ngram_jaccard_udf`` exactly when blake2b
+    shingle-hash collisions are absent (64-bit hashes: negligible).
+
+    Catalyst inlines the shingle subtree into every use site in the
+    projection (runtime subexpression elimination dedupes within one
+    Project, but the expression still re-evaluates per pair) — in a pair
+    join, prefer ``word_shingle_set`` per side + ``jaccard_from_shingle_sets``
+    so shingling is O(docs), not O(pairs)."""
+    return jaccard_from_shingle_sets(word_shingle_set(a, k), word_shingle_set(b, k))

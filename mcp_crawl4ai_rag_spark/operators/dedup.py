@@ -588,20 +588,29 @@ def near_duplicates_minhash(
     bands: int = 16,
     shingle_k: int = 5,
 ) -> DataFrame:
-    """Candidates from LSH, verified by exact n-gram Jaccard >= threshold."""
-    cands = minhash_lsh_candidates(df, text_col, id_col, num_perm, bands, shingle_k)
-    texts = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
-    joined = (
-        cands.join(texts.withColumnRenamed("id", "id_a").withColumnRenamed("text", "text_a"), "id_a")
-        .join(texts.withColumnRenamed("id", "id_b").withColumnRenamed("text", "text_b"), "id_b")
-    )
-    # exact verify runs JVM-side (Column shingles + array_intersect inside
-    # codegen) — the pandas-UDF kernel stays available as the test oracle
-    from mcp_crawl4ai_rag_spark.functions.text import ngram_jaccard
+    """Candidates from LSH, verified by exact n-gram Jaccard >= threshold.
 
+    The exact verify runs JVM-side: shingle sets are computed once per
+    document in the projection that joins onto the candidate pairs (so
+    shingling is O(docs), not O(candidate pairs)), and the Jaccard is
+    array_intersect/array_union inside whole-stage codegen. The
+    pandas-UDF kernel stays available as the differential test oracle."""
+    from mcp_crawl4ai_rag_spark.functions.text import (
+        jaccard_from_shingle_sets,
+        word_shingle_set,
+    )
+
+    cands = minhash_lsh_candidates(df, text_col, id_col, num_perm, bands, shingle_k)
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        word_shingle_set(F.col(text_col), shingle_k).alias("sh"),
+    )
+    joined = cands.join(
+        sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a"
+    ).join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
     return (
         joined.withColumn(
-            "jaccard", ngram_jaccard(F.col("text_a"), F.col("text_b"), shingle_k)
+            "jaccard", jaccard_from_shingle_sets(F.col("sh_a"), F.col("sh_b"))
         )
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")

@@ -228,3 +228,41 @@ def test_winnow_near_duplicates(spark):
     a = set(winnow_fingerprints_py(base))
     b = set(winnow_fingerprints_py(near))
     assert a & b
+
+
+def test_ngram_jaccard_column_matches_python_kernel(spark):
+    """The pure-Column Jaccard (word_shingles + array algebra) must agree
+    with the pandas-UDF/blake2b-hash kernel on every edge case: empties,
+    blanks, <k-token texts, case folding, mixed whitespace."""
+    import pyspark.sql.functions as F
+
+    from mcp_crawl4ai_rag_spark.functions.text import ngram_jaccard
+    from mcp_crawl4ai_rag_spark.operators.dedup import _shingle_hashes
+
+    def py_jac(x, y, k):
+        sa, sb = set(_shingle_hashes(x, k)), set(_shingle_hashes(y, k))
+        if not sa and not sb:
+            return 1.0
+        if not sa or not sb:
+            return 0.0
+        return len(sa & sb) / len(sa | sb)
+
+    cases = [
+        ("the quick brown fox jumps over a lazy dog", "the quick brown fox leaps over a lazy dog"),
+        ("", ""),
+        ("", "hello"),
+        ("  \t\n ", "x y"),
+        ("one two three", "one two three"),
+        ("one two three", "one two four"),
+        ("Hello WORLD foo bar baz qux", "hello world foo bar baz qux"),
+        ("a b c d e f g h", "c d e f g h i j"),
+        ("word " * 50, "word " * 50 + "tail"),
+    ]
+    for k in (3, 5):
+        rows = (
+            spark.createDataFrame(cases, ["a", "b"])
+            .select("a", "b", ngram_jaccard(F.col("a"), F.col("b"), k).alias("j"))
+            .collect()
+        )
+        for r in rows:
+            assert abs(r["j"] - py_jac(r["a"], r["b"], k)) < 1e-12, (k, r["a"], r["b"])
