@@ -183,7 +183,8 @@ def run_schedule_bench(
         finally:
             shutil.rmtree(stage_dir, ignore_errors=True)
 
-    runs = [one_run() for _ in range(2)]
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    runs = [one_run() for _ in range(max(1, n_runs))]
     best = min(runs, key=lambda r: r["pipeline_sec"])
     t_canon, t_dedup, t_pop = best["t_canon"], best["t_dedup"], best["t_pop"]
     pipeline_sec = best["pipeline_sec"]

@@ -34,6 +34,9 @@ def run_level(cpus: int, n_urls: int, repeats: int = 1, pin: bool = True) -> dic
         SPARK_GRAFT_CPUS=str(cpus),
         SPARK_GRAFT_BENCH_URLS=str(n_urls),
         SPARK_GRAFT_SF_DIR=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+        # this script interleaves its own repeats across levels — one
+        # pipeline run per bench.py invocation keeps samples independent
+        SPARK_GRAFT_BENCH_RUNS="1",
     )
     cmd = [sys.executable, os.path.join(REPO, "bench.py"), "--pipeline-only"]
     if pin:
