@@ -517,6 +517,46 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → dedup groups via iterative min-label connected
+    components (operators/graph.py); oracle is a DuckDB recursive-CTE
+    reachability closure. Pairs chain multiples of 7 in runs of three
+    ({0,7,14}, {21,28,35}, ...) so components need >1 propagation round."""
+    from mcp_crawl4ai_rag_spark.operators.graph import dedup_groups
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 7 == 0).select("doc_id")
+    nxt = docs.select((F.col("doc_id") - 7).alias("doc_id"))
+    pairs = (
+        docs.join(nxt, "doc_id")
+        .where(F.col("doc_id") % 21 != 14)
+        .select(
+            F.col("doc_id").alias("id_a"), (F.col("doc_id") + 7).alias("id_b")
+        )
+    )
+    return dedup_groups(pairs).select("comp", "n_members", "keep_id")
+
+
+def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: PageRank over a deterministic synthetic link graph on
+    doc ids (each doc links to (id*13+7) % 100 — ids 0-99 become hubs);
+    iterative float updates are not SQL-expressible, so correctness is
+    pinned by the numpy power-iteration differential in tests/test_graph.py.
+    Returns the top-20 hub ranks."""
+    from mcp_crawl4ai_rag_spark.operators.graph import pagerank
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    edges = docs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 13 + 7) % 100).alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+    ranks = pagerank(edges, n_iter=8)
+    return (
+        ranks.select("id", F.round("rank", 6).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("id"))
+        .limit(20)
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mcp_crawl4ai_rag_spark.operators.dedup import simhash_near_duplicates
 
@@ -805,7 +845,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (non-SQL-expressible): chunkers, LSH, IVF, multimodal
         "c1_smart_chunker": q_c1_smart_chunker,
         "c3_media_chunker": q_c3_media_chunker,
+        "dedup_components": q_dedup_components,
         "dedup_jaccard": q_dedup_jaccard,
+        "link_pagerank": q_link_pagerank,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "dedup_winnow": q_dedup_winnow,
@@ -997,6 +1039,31 @@ def oracle_sql() -> dict[str, str]:
                 ELSE FALSE END AS is_dead
               FROM events) t
             GROUP BY is_dead
+        """,
+        "dedup_components": r"""
+            WITH RECURSIVE docs AS (
+              SELECT doc_id FROM documents WHERE doc_id % 7 = 0
+            ),
+            pairs AS (
+              SELECT a.doc_id AS id_a, a.doc_id + 7 AS id_b
+              FROM docs a JOIN docs b ON b.doc_id = a.doc_id + 7
+              WHERE a.doc_id % 21 <> 14
+            ),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL
+              SELECT id_b, id_a FROM pairs
+            ),
+            reach AS (
+              SELECT src AS node, src AS root FROM edges
+              UNION
+              SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+            ),
+            labels AS (
+              SELECT node AS id, MIN(root) AS comp FROM reach GROUP BY node
+            )
+            SELECT comp, COUNT(*) AS n_members, MIN(id) AS keep_id
+            FROM labels GROUP BY comp
         """,
         "dedup_jaccard": r"""
             WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),

@@ -1,0 +1,79 @@
+"""Link-graph operators: connected components + PageRank.
+
+PageRank is differentially tested against a numpy power-iteration oracle
+implementing the identical formulation (rank sums to n, dangling mass
+redistributed uniformly, (1-d) + d * inflow update).
+"""
+
+import numpy as np
+import pytest
+
+from mcp_crawl4ai_rag_spark.operators import graph as G
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from mcp_crawl4ai_rag_spark.session import get_spark
+
+    return get_spark(master="local[4]", shuffle_partitions=4)
+
+
+def test_connected_components_chain_and_islands(spark):
+    # two islands + a 5-node chain (diameter 4 → needs >1 propagation round)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (10, 11), (11, 12), (12, 13), (13, 14)],
+        ["id_a", "id_b"],
+    )
+    comp = {r["id"]: r["comp"] for r in G.connected_components(pairs).collect()}
+    assert comp == {
+        1: 1, 2: 1, 3: 1,
+        5: 5, 6: 5,
+        10: 10, 11: 10, 12: 10, 13: 10, 14: 10,
+    }
+
+
+def test_dedup_groups_membership(spark):
+    pairs = spark.createDataFrame([(4, 2), (2, 9), (7, 8)], ["id_a", "id_b"])
+    groups = {r["comp"]: r for r in G.dedup_groups(pairs).collect()}
+    assert groups[2]["n_members"] == 3
+    assert groups[2]["keep_id"] == 2
+    assert groups[2]["member_ids"] == [2, 4, 9]
+    assert groups[7]["member_ids"] == [7, 8]
+
+
+def _pagerank_numpy(edges, n_iter=10, damping=0.85):
+    nodes = sorted({u for e in edges for u in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    out_deg = np.zeros(n)
+    for s, _ in edges:
+        out_deg[idx[s]] += 1
+    rank = np.ones(n)
+    for _ in range(n_iter):
+        inflow = np.zeros(n)
+        for s, d in edges:
+            inflow[idx[d]] += rank[idx[s]] / out_deg[idx[s]]
+        dangling = rank[out_deg == 0].sum()
+        rank = (1 - damping) + damping * (inflow + dangling / n)
+    return {v: rank[idx[v]] for v in nodes}
+
+
+def test_pagerank_matches_power_iteration(spark):
+    # hub/authority structure + a dangling node (4 has no out-edges)
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (1, 4), (5, 3), (5, 4)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["id"]: r["rank"] for r in G.pagerank(df, n_iter=10).collect()}
+    exp = _pagerank_numpy(edges, n_iter=10)
+    assert set(got) == set(exp)
+    for v in exp:
+        assert abs(got[v] - exp[v]) < 1e-9, (v, got[v], exp[v])
+    # mass conservation: sum(rank) == n_nodes
+    assert abs(sum(got.values()) - len(exp)) < 1e-9
+
+
+def test_pagerank_uniform_on_cycle(spark):
+    # symmetric cycle → uniform ranks exactly 1.0
+    edges = [(i, (i + 1) % 5) for i in range(5)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    for r in G.pagerank(df, n_iter=7).collect():
+        assert abs(r["rank"] - 1.0) < 1e-12
