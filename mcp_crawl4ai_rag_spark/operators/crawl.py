@@ -225,9 +225,13 @@ class CrawlEngine:
         base = self._read(self.pending_tbl, "frontier_pending")
         delta = self._read(self.pending_delta_tbl, "frontier_pending_delta")
         adds = delta.where(F.col("op") == "add").drop("op")
-        dels = delta.where(F.col("op") == "del").select("url", "seq", "attempts")
+        # priority is part of the delete key so a reprioritized row (same
+        # url/seq/attempts, new priority) is not killed by its own delete
+        dels = delta.where(F.col("op") == "del").select(
+            "url", "seq", "attempts", "priority"
+        )
         return base.unionByName(adds).join(
-            F.broadcast(dels), ["url", "seq", "attempts"], "left_anti"
+            F.broadcast(dels), ["url", "seq", "attempts", "priority"], "left_anti"
         )
 
     def _compact_pending(self) -> None:
@@ -422,6 +426,53 @@ class CrawlEngine:
         self._maintain_filters(rows.select("url_hash"))
         pinned.unpersist()
         self._save_checkpoint()
+        return n
+
+    def reprioritize(
+        self, priorities: DataFrame, url_col: str = "url", priority_col: str = "priority"
+    ) -> int:
+        """Update pending-frontier priorities mid-crawl in O(matched) rows —
+        the adaptive-scheduling hook: feed it operators/graph.pagerank
+        scores over the crawled link graph to shift from BFS order to
+        importance-first ordering without touching the base table.
+
+        Each matched row whose priority actually changes gets an equality
+        'del' of its current version plus an 'add' at the new priority in
+        the merge-on-read delta (priority is part of the delete key, so the
+        new version survives the anti-join). Pop order (priority DESC, seq
+        ASC) picks the change up on the next round; seq/attempts/state are
+        untouched, so retry semantics and the determinism contract for
+        everything except the intended reordering are preserved. The delta
+        commit + checkpoint make it resume-safe like any round."""
+        pr = priorities.select(
+            F.col(url_col).alias("url"),
+            F.col(priority_col).cast("int").alias("__new_priority"),
+        )
+        matched = (
+            self._read_pending()
+            .join(pr, "url")
+            .where(F.col("priority") != F.col("__new_priority"))
+            .cache()
+        )
+        n = matched.count()
+        if n:
+            dels = matched.select(*FRONTIER_COLS_PENDING).withColumn(
+                "op", F.lit("del")
+            )
+            adds = (
+                matched.withColumn("priority", F.col("__new_priority"))
+                .select(*FRONTIER_COLS_PENDING)
+                .withColumn("op", F.lit("add"))
+            )
+            self._commit(
+                self.pending_delta_tbl,
+                "frontier_pending_delta",
+                dels.unionByName(adds),
+                mode="append",
+                extra={"round": self.round_id, "reprioritized": n},
+            )
+            self._save_checkpoint()
+        matched.unpersist()
         return n
 
     # -- seen-filter maintenance ---------------------------------------------
