@@ -600,10 +600,16 @@ def near_duplicates_minhash(
         word_shingle_set,
     )
 
-    cands = minhash_lsh_candidates(df, text_col, id_col, num_perm, bands, shingle_k)
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        word_shingle_set(F.col(text_col), shingle_k).alias("sh"),
+    cands = minhash_lsh_candidates(df, text_col, id_col, num_perm, bands, shingle_k).cache()
+    # shingle only docs that appear in candidate pairs (semi-join first):
+    # the broadcast side carries |candidate docs| shingle arrays, not the
+    # whole corpus's
+    texts = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    in_cands = cands.select(F.col("id_a").alias("id")).union(
+        cands.select(F.col("id_b").alias("id"))
+    )
+    sh = texts.join(in_cands, "id", "left_semi").select(
+        "id", word_shingle_set(F.col("t"), shingle_k).alias("sh")
     )
     joined = cands.join(
         sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a"
