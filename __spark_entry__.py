@@ -517,6 +517,39 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite dedup keep-policy: exact-dup groups (normalized-text
+    fingerprint) keep their highest-quality member (quality DESC, doc_id
+    ASC). Duplicates are planted as copies padded with 60k trailing
+    spaces — identical after fingerprint normalization, but length/punct
+    quality components flip, so the original always wins."""
+    from mcp_crawl4ai_rag_spark.functions.text import fingerprint, quality_score
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.where(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.repeat(F.lit(" "), 60000)).alias("text"),
+    )
+    both = d.unionByName(dup)
+    scored = both.select(
+        "doc_id",
+        fingerprint(F.col("text")).alias("fp"),
+        F.round(quality_score(F.col("text")), 2).alias("quality"),
+    )
+    w = Window.partitionBy("fp").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count("*").over(Window.partitionBy("fp")))
+        .where(F.col("rn") == 1)
+        .select(
+            "fp",
+            F.col("doc_id").alias("keep_id"),
+            F.col("quality").alias("keep_quality"),
+            "n_members",
+        )
+    )
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs → dedup groups via iterative min-label connected
     components (operators/graph.py); oracle is a DuckDB recursive-CTE
@@ -847,6 +880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c3_media_chunker": q_c3_media_chunker,
         "dedup_components": q_dedup_components,
         "dedup_jaccard": q_dedup_jaccard,
+        "dedup_keep_best": q_dedup_keep_best,
         "link_pagerank": q_link_pagerank,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
@@ -1039,6 +1073,43 @@ def oracle_sql() -> dict[str, str]:
                 ELSE FALSE END AS is_dead
               FROM events) t
             GROUP BY is_dead
+        """,
+        "dedup_keep_best": rf"""
+            WITH both_docs AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, text || repeat(' ', 60000)
+              FROM documents WHERE doc_id % 4 = 0
+            ),
+            scored AS (
+              SELECT doc_id,
+                     md5(regexp_replace(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS fp,
+                     ROUND(
+                       (CASE WHEN LENGTH(text) BETWEEN 200 AND 50000 THEN 1 ELSE 0 END) * 0.25
+                     + (CASE WHEN ntok > 0 AND nstop / CAST(ntok AS DOUBLE) >= 0.05
+                          THEN 1 ELSE 0 END) * 0.25
+                     + (CASE WHEN LENGTH(text) > 0
+                               AND LENGTH(regexp_extract_all(text, '[.,;:!?]'))
+                                   / CAST(LENGTH(text) AS DOUBLE) BETWEEN 0.001 AND 0.2
+                          THEN 1 ELSE 0 END) * 0.25
+                     + (CASE WHEN ntok > 0
+                               AND LENGTH(regexp_replace(text, '\s+', '', 'g'))
+                                   / CAST(ntok AS DOUBLE) BETWEEN 2.0 AND 12.0
+                          THEN 1 ELSE 0 END) * 0.25, 2) AS quality
+              FROM (
+                SELECT doc_id, text,
+                       CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                            ELSE LENGTH(string_split_regex(TRIM(text), '\s+')) END AS ntok,
+                       LENGTH(regexp_extract_all(LOWER(text), '{_STOP}')) AS nstop
+                FROM both_docs) t
+            )
+            SELECT fp, keep_id, keep_quality, n_members FROM (
+              SELECT fp, doc_id AS keep_id, quality AS keep_quality,
+                     row_number() OVER (PARTITION BY fp
+                                        ORDER BY quality DESC, doc_id) AS rn,
+                     COUNT(*) OVER (PARTITION BY fp) AS n_members
+              FROM scored) s
+            WHERE rn = 1
         """,
         "dedup_components": r"""
             WITH RECURSIVE docs AS (
