@@ -517,6 +517,61 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_span_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved text+media span construction from flat text (the
+    engine's document payload model), pure Column expressions: 10-token
+    segments → every 3rd segment preceded by a media span with a derived
+    ref → flatten → posexplode to ordered span rows. DuckDB twin uses
+    unnest(generate_series) + list slicing + a window for the span index."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    n_seg = F.ceil(F.size(toks) / F.lit(10)).cast("int")
+    sents = F.transform(
+        F.sequence(F.lit(0), n_seg - 1),
+        lambda i: F.array_join(F.slice(toks, i * 10 + 1, 10), " "),
+    )
+    spans = F.flatten(
+        F.transform(
+            sents,
+            lambda s, i: F.when(
+                i % 3 == 0,
+                F.array(
+                    F.struct(
+                        F.lit("media").alias("kind"),
+                        F.concat(
+                            F.lit("media://"),
+                            F.col("doc_id").cast("string"),
+                            F.lit("/"),
+                            i.cast("string"),
+                        ).alias("media_ref"),
+                        F.lit(0).alias("text_len"),
+                    ),
+                    F.struct(
+                        F.lit("text").alias("kind"),
+                        F.lit(None).cast("string").alias("media_ref"),
+                        F.length(s).alias("text_len"),
+                    ),
+                ),
+            ).otherwise(
+                F.array(
+                    F.struct(
+                        F.lit("text").alias("kind"),
+                        F.lit(None).cast("string").alias("media_ref"),
+                        F.length(s).alias("text_len"),
+                    )
+                )
+            ),
+        )
+    )
+    return d.select("doc_id", F.posexplode(spans).alias("span_idx", "span")).select(
+        "doc_id",
+        "span_idx",
+        F.col("span.kind").alias("kind"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.text_len").alias("text_len"),
+    )
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite dedup keep-policy: exact-dup groups (normalized-text
     fingerprint) keep their highest-quality member (quality DESC, doc_id
@@ -881,6 +936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_keep_best": q_dedup_keep_best,
+        "span_interleave": q_span_interleave,
         "link_pagerank": q_link_pagerank,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
@@ -1073,6 +1129,33 @@ def oracle_sql() -> dict[str, str]:
                 ELSE FALSE END AS is_dead
               FROM events) t
             GROUP BY is_dead
+        """,
+        "span_interleave": r"""
+            WITH s AS (
+              SELECT doc_id,
+                     array_to_string(toks[(i - 1) * 10 + 1 : (i - 1) * 10 + 10], ' ')
+                       AS sentence,
+                     i
+              FROM (
+                SELECT doc_id, toks,
+                       unnest(generate_series(
+                         1, CAST(ceil(len(toks) / 10.0) AS BIGINT))) AS i
+                FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                      FROM documents) x) y
+            ),
+            spans AS (
+              SELECT doc_id, i, 0 AS sub, 'media' AS kind,
+                     'media://' || doc_id || '/' || (i - 1) AS media_ref,
+                     0 AS text_len
+              FROM s WHERE (i - 1) % 3 = 0
+              UNION ALL
+              SELECT doc_id, i, 1, 'text', NULL, LENGTH(sentence) FROM s
+            )
+            SELECT doc_id,
+                   CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i, sub)
+                        - 1 AS INTEGER) AS span_idx,
+                   kind, media_ref, text_len
+            FROM spans
         """,
         "dedup_keep_best": rf"""
             WITH both_docs AS (
