@@ -517,6 +517,50 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals (the Gopher-style filters): per doc the
+    distinct-word ratio, most-frequent-word fraction, and most-frequent-
+    bigram fraction. Explode → two-level aggregation (uniform (doc_id,
+    term) keys, one shuffle) — never an O(n^2) per-row fold."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    words = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
+    word_stats = (
+        words.groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_words"),
+            F.count("*").alias("n_distinct"),
+            F.max("c").alias("top_word_count"),
+        )
+    )
+    toks = F.split(F.col("text"), " ")
+    bigrams = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+            )
+        ).alias("b"),
+    )
+    bigram_stats = (
+        bigrams.groupBy("doc_id", "b")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bigram_count"))
+    )
+    return word_stats.join(bigram_stats, "doc_id").select(
+        "doc_id",
+        "n_words",
+        F.round(F.col("n_distinct") / F.col("n_words"), 6).alias("distinct_ratio"),
+        F.round(F.col("top_word_count") / F.col("n_words"), 6).alias("top_word_frac"),
+        F.round(F.col("top_bigram_count") / F.col("n_bigrams"), 6).alias(
+            "top_bigram_frac"
+        ),
+    )
+
+
 def q_span_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interleaved text+media span construction from flat text (the
     engine's document payload model), pure Column expressions: 10-token
@@ -937,6 +981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_keep_best": q_dedup_keep_best,
         "span_interleave": q_span_interleave,
+        "text_repetition": q_text_repetition,
         "link_pagerank": q_link_pagerank,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
@@ -1129,6 +1174,37 @@ def oracle_sql() -> dict[str, str]:
                 ELSE FALSE END AS is_dead
               FROM events) t
             GROUP BY is_dead
+        """,
+        "text_repetition": r"""
+            WITH words AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+            ),
+            word_stats AS (
+              SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+                     COUNT(*) AS n_distinct, MAX(c) AS top_word_count
+              FROM (SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY 1, 2) t
+              GROUP BY doc_id
+            ),
+            bigrams AS (
+              SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS b
+              FROM (
+                SELECT doc_id, toks,
+                       unnest(generate_series(1, len(toks) - 1)) AS i
+                FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                      FROM documents) x) y
+            ),
+            bigram_stats AS (
+              SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+                     MAX(c) AS top_bigram_count
+              FROM (SELECT doc_id, b, COUNT(*) AS c FROM bigrams GROUP BY 1, 2) t
+              GROUP BY doc_id
+            )
+            SELECT w.doc_id, w.n_words,
+                   ROUND(n_distinct / CAST(n_words AS DOUBLE), 6) AS distinct_ratio,
+                   ROUND(top_word_count / CAST(n_words AS DOUBLE), 6) AS top_word_frac,
+                   ROUND(top_bigram_count / CAST(n_bigrams AS DOUBLE), 6)
+                     AS top_bigram_frac
+            FROM word_stats w JOIN bigram_stats b ON w.doc_id = b.doc_id
         """,
         "span_interleave": r"""
             WITH s AS (
