@@ -27,6 +27,7 @@ import time
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 class CommitConflict(RuntimeError):
@@ -324,3 +325,26 @@ class CrawlCheckpoint:
                     os.remove(os.path.join(self.dir, entry))
                 except OSError:
                     pass
+
+
+def snapshot_diff(
+    spark: SparkSession,
+    table: SnapshotTable,
+    v_old: int,
+    v_new: int,
+) -> DataFrame:
+    """Time-travel diff between two committed versions of a snapshot
+    table: full-row set difference tagged ``change ∈ {added, removed}``
+    (multiset semantics via exceptAll, so duplicate-row cardinality
+    changes surface too). The audit view the north rule's per-partition
+    lineage implies — "what did round N's commit change" — without any
+    engine bookkeeping beyond the versioned manifests that already exist.
+
+    One shuffle per direction on the full row (uniform — hash of all
+    columns); at scale restrict to a partition slice first via
+    ``table.read(spark, version, partitions=[...])``.
+    """
+    old, new = table.read(spark, v_old), table.read(spark, v_new)
+    added = new.exceptAll(old).withColumn("change", F.lit("added"))
+    removed = old.exceptAll(new).withColumn("change", F.lit("removed"))
+    return added.unionByName(removed)

@@ -116,3 +116,34 @@ def test_partitioned_expiry_gcs_dead_subdirs(spark, tmp_path):
     cur = t.read(spark)
     assert cur.where("bucket = 1").count() == 20
     assert cur.where("bucket = 0").count() == 3
+
+
+def test_snapshot_diff_added_removed(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from mcp_crawl4ai_rag_spark.plans.snapshots import snapshot_diff
+
+    t = SnapshotTable(str(tmp_path), "t")
+    t.commit(spark.range(0, 6))                       # v1: 0..5
+    t.commit(spark.range(3, 9))                       # v2: 3..8
+    d = {(r["id"], r["change"]) for r in snapshot_diff(spark, t, 1, 2).collect()}
+    assert d == {(6, "added"), (7, "added"), (8, "added"),
+                 (0, "removed"), (1, "removed"), (2, "removed")}
+    # identical versions diff to empty; direction reversal flips the tags
+    assert snapshot_diff(spark, t, 2, 2).count() == 0
+    rev = {(r["id"], r["change"]) for r in snapshot_diff(spark, t, 2, 1).collect()}
+    assert rev == {(0, "added"), (1, "added"), (2, "added"),
+                   (6, "removed"), (7, "removed"), (8, "removed")}
+
+
+def test_snapshot_diff_multiset_cardinality(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from mcp_crawl4ai_rag_spark.plans.snapshots import snapshot_diff
+
+    t = SnapshotTable(str(tmp_path), "t")
+    one = spark.createDataFrame([(1,)], "id long")
+    t.commit(one)                                     # v1: [1]
+    t.commit(one.union(one))                          # v2: [1, 1]
+    d = [(r["id"], r["change"]) for r in snapshot_diff(spark, t, 1, 2).collect()]
+    assert d == [(1, "added")]  # exceptAll surfaces the extra copy
