@@ -201,9 +201,10 @@ def main() -> None:
             "broadcast anti-join deletes",
             "Per-round commits are O(batch) delta appends; the read-side "
             "equality-delete resolution is a BroadcastHashJoin LeftAnti on "
-            "(url, seq, attempts) — the base never shuffles. The manifest's "
-            "bucket→path map gives partition-pruned scans for host-scoped "
-            "maintenance.",
+            "(url, seq, attempts, priority) — the base never shuffles, and "
+            "reprioritized row versions survive their own delete. The "
+            "manifest's bucket→path map gives partition-pruned scans for "
+            "host-scoped maintenance.",
             grab(_pending_view(spark, base_tbl, delta_tbl)),
         )
     )
@@ -215,7 +216,19 @@ def main() -> None:
     )
     for title, note, plan in sections:
         out.append(f"\n## {title}\n\n{note}\n\n```\n{plan}```\n")
-    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
+    # preserve hand-written analysis below the marker across regenerations
+    marker = "<!-- MANUAL SECTIONS — kept verbatim by explain_plans.py -->"
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"
+    )
+    manual = ""
+    if os.path.exists(path):
+        with open(path) as f:
+            prev = f.read()
+        if marker in prev:
+            manual = prev.split(marker, 1)[1]
+    out.append(f"\n{marker}\n{manual}")
+    with open(path, "w") as f:
         f.write("".join(out))
     print("wrote PLANS.md")
 
