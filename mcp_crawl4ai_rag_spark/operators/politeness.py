@@ -40,20 +40,37 @@ def robots_allowed(df: DataFrame, robots: DataFrame, url_col: str = "url") -> Da
 
     df must carry host/path columns (use with_host_and_path). robots:
     (host, rule_type, path_prefix, crawl_delay) — small → broadcast.
-    Longest path-prefix match wins; no matching rule ⇒ allow; equal-length
-    conflicts resolve to allow (rule tables should not carry them).
+    RFC 9309 matching: ``*`` matches any char run, a trailing ``$``
+    anchors the rule to the path end; most-specific (longest-pattern)
+    match wins; no matching rule ⇒ allow; equal-length conflicts resolve
+    to allow (RFC: least restrictive).
 
     Shuffle-free: rules collapse to one array per host (tiny), broadcast
     hash join, then a per-row array fold picks the longest match — no
     window, no repartition, stays in whole-stage codegen except the
-    broadcast build.
+    broadcast build. Wildcard rules are translated to anchored regexes
+    ONCE at broadcast-build time; plain prefix rules (the common case)
+    keep the cheap ``startswith`` probe.
     """
+    # ^-anchored regex for wildcard rules: escape specials, * -> .*,
+    # a trailing $ (escaped to \$ by the first pass) becomes the anchor
+    esc = F.regexp_replace(
+        F.col("path_prefix"), r"([.\\+?\[\](){}|^$])", r"\\$1"
+    )
+    body = F.replace(esc, F.lit("*"), F.lit(".*"))
+    anchored = F.when(
+        F.col("path_prefix").endswith("$"),
+        F.concat(F.lit("^"), F.regexp_replace(body, r"\\\$$", ""), F.lit("$")),
+    ).otherwise(F.concat(F.lit("^"), body))
+    is_re = F.col("path_prefix").contains("*") | F.col("path_prefix").endswith("$")
     rules_by_host = F.broadcast(
         robots.groupBy("host").agg(
             F.collect_list(
                 F.struct(
                     F.col("path_prefix").alias("prefix"),
                     F.col("rule_type").alias("rtype"),
+                    is_re.alias("is_re"),
+                    anchored.alias("pattern"),
                 )
             ).alias("__rules")
         )
@@ -63,7 +80,8 @@ def robots_allowed(df: DataFrame, robots: DataFrame, url_col: str = "url") -> Da
         F.transform(
             F.col("__rules"),
             lambda r: F.when(
-                F.col("path").startswith(r["prefix"]),
+                F.when(r["is_re"], F.regexp_like(F.col("path"), r["pattern"]))
+                .otherwise(F.col("path").startswith(r["prefix"])),
                 F.struct(
                     F.length(r["prefix"]).alias("len"),
                     (r["rtype"] == "allow").alias("allow"),

