@@ -561,6 +561,56 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (training-mixture construction):
+    per-language keep rates via hash-threshold filtering — a pure narrow
+    filter, no shuffle, no RNG (operators/sampling.py). The oracle runs
+    the identical md5-prefix comparison in DuckDB."""
+    from mcp_crawl4ai_rag_spark.operators.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = stratified_sample(
+        d,
+        {"en": 0.5, "de": 0.3, "zh": 0.2},
+        stratum_col="lang",
+        key_col="doc_id",
+        default_rate=0.1,
+        salt="mix1",
+        hash_col="sample_key",
+    )
+    return out.select("doc_id", "lang", "sample_key")
+
+
+def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite Gopher-style document filter (Rae et al. 2021 §A1.1
+    shape): word count, mean word length, distinct-word ratio, and
+    top-word/bigram repetition thresholds combined into a keep decision
+    with comma-joined drop reasons. Reuses the text_repetition plan
+    (explode → two-level agg, one shuffle) + a doc-keyed join for the
+    non-space char count."""
+    rep = q_text_repetition(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.length(F.translate(F.col("text"), " ", "")).alias("n_nonspace")
+    )
+    j = rep.join(d, "doc_id")
+    mwl = F.round(F.col("n_nonspace") / F.col("n_words"), 6)
+    reasons = F.concat_ws(
+        ",",
+        F.when((F.col("n_words") < 20) | (F.col("n_words") > 100000), F.lit("word_count")),
+        F.when((mwl < 3.0) | (mwl > 10.0), F.lit("mean_word_len")),
+        F.when(F.col("distinct_ratio") < 0.4, F.lit("distinct_ratio")),
+        F.when(F.col("top_word_frac") > 0.15, F.lit("top_word")),
+        F.when(F.col("top_bigram_frac") > 0.10, F.lit("top_bigram")),
+    )
+    return j.select(
+        "doc_id",
+        "n_words",
+        mwl.alias("mean_word_len"),
+        reasons.alias("drop_reasons"),
+        (reasons == "").alias("keep"),
+    )
+
+
 def q_span_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interleaved text+media span construction from flat text (the
     engine's document payload model), pure Column expressions: 10-token
@@ -982,6 +1032,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": q_dedup_keep_best,
         "span_interleave": q_span_interleave,
         "text_repetition": q_text_repetition,
+        "sample_stratified": q_sample_stratified,
+        "gopher_filter": q_gopher_filter,
         "link_pagerank": q_link_pagerank,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
@@ -1000,6 +1052,8 @@ _STOP = r"\b(the|and|of|to|in|is|that|for|with|was|are)\b"
 
 
 def oracle_sql() -> dict[str, str]:
+    from mcp_crawl4ai_rag_spark.operators.sampling import rate_threshold_hex as _rth
+
     return {
         "s2_dedup_insert": """
             SELECT DISTINCT l_orderkey AS url_key FROM lineitem
@@ -1205,6 +1259,76 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(top_bigram_count / CAST(n_bigrams AS DOUBLE), 6)
                      AS top_bigram_frac
             FROM word_stats w JOIN bigram_stats b ON w.doc_id = b.doc_id
+        """,
+        "sample_stratified": f"""
+            WITH keyed AS (
+              SELECT doc_id, lang,
+                     substr(md5('mix1' || CAST(doc_id AS VARCHAR)), 1, 12)
+                       AS sample_key
+              FROM documents)
+            SELECT doc_id, lang, sample_key FROM keyed
+            WHERE sample_key < CASE lang
+                WHEN 'de' THEN '{_rth(0.3)}'
+                WHEN 'en' THEN '{_rth(0.5)}'
+                WHEN 'zh' THEN '{_rth(0.2)}'
+                ELSE '{_rth(0.1)}' END
+        """,
+        "gopher_filter": r"""
+            WITH words AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+            ),
+            word_stats AS (
+              SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+                     COUNT(*) AS n_distinct, MAX(c) AS top_word_count
+              FROM (SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY 1, 2) t
+              GROUP BY doc_id
+            ),
+            bigrams AS (
+              SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS b
+              FROM (
+                SELECT doc_id, toks,
+                       unnest(generate_series(1, len(toks) - 1)) AS i
+                FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                      FROM documents) x) y
+            ),
+            bigram_stats AS (
+              SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+                     MAX(c) AS top_bigram_count
+              FROM (SELECT doc_id, b, COUNT(*) AS c FROM bigrams GROUP BY 1, 2) t
+              GROUP BY doc_id
+            ),
+            rep AS (
+              SELECT w.doc_id, w.n_words,
+                     ROUND(n_distinct / CAST(n_words AS DOUBLE), 6)
+                       AS distinct_ratio,
+                     ROUND(top_word_count / CAST(n_words AS DOUBLE), 6)
+                       AS top_word_frac,
+                     ROUND(top_bigram_count / CAST(n_bigrams AS DOUBLE), 6)
+                       AS top_bigram_frac
+              FROM word_stats w JOIN bigram_stats b ON w.doc_id = b.doc_id
+            ),
+            flagged AS (
+              SELECT r.doc_id, r.n_words,
+                     ROUND(LENGTH(REPLACE(d.text, ' ', ''))
+                           / CAST(r.n_words AS DOUBLE), 6) AS mean_word_len,
+                     concat_ws(',',
+                       CASE WHEN r.n_words < 20 OR r.n_words > 100000
+                            THEN 'word_count' END,
+                       CASE WHEN ROUND(LENGTH(REPLACE(d.text, ' ', ''))
+                                       / CAST(r.n_words AS DOUBLE), 6) < 3.0
+                              OR ROUND(LENGTH(REPLACE(d.text, ' ', ''))
+                                       / CAST(r.n_words AS DOUBLE), 6) > 10.0
+                            THEN 'mean_word_len' END,
+                       CASE WHEN r.distinct_ratio < 0.4
+                            THEN 'distinct_ratio' END,
+                       CASE WHEN r.top_word_frac > 0.15 THEN 'top_word' END,
+                       CASE WHEN r.top_bigram_frac > 0.10 THEN 'top_bigram' END
+                     ) AS drop_reasons
+              FROM rep r JOIN documents d ON r.doc_id = d.doc_id
+            )
+            SELECT doc_id, n_words, mean_word_len, drop_reasons,
+                   (drop_reasons = '') AS keep
+            FROM flagged
         """,
         "span_interleave": r"""
             WITH s AS (
