@@ -208,6 +208,14 @@ class CrawlEngine:
         info = tbl.commit(df, **kw)
         self.versions[name] = info.version
 
+    def _commit_rows(
+        self, tbl: SnapshotTable, name: str, rows: list, schema: str, **kw
+    ) -> None:
+        """Driver-rows commit (no Spark job) — metrics/lineage side tables
+        whose rows are O(hosts) and already live on the driver."""
+        info = tbl.commit_rows(rows, schema, **kw)
+        self.versions[name] = info.version
+
     def _bucket(self, host_col: str = "host"):
         return F.pmod(F.xxhash64(host_col), F.lit(self.host_buckets)).cast("int")
 
@@ -414,12 +422,11 @@ class CrawlEngine:
             "media_ref:string,offset:int>>",
         )
         self._commit(self.documents_tbl, "documents", empty_docs)
-        self._commit(
+        self._commit_rows(
             self.metrics_tbl,
             "metrics",
-            self.spark.createDataFrame(
-                [], "round int, scope string, key string, value long"
-            ),
+            [],
+            "round int, scope string, key string, value long",
         )
         n = rows.count()
         self.seq_counter = n
@@ -752,12 +759,11 @@ class CrawlEngine:
             (self.round_id, f"host:{h}", "popped", int(n))
             for h, n in sorted(host_popped.items())
         ]
-        self._commit(
+        self._commit_rows(
             self.metrics_tbl,
             "metrics",
-            self.spark.createDataFrame(
-                metric_rows, "round int, scope string, key string, value long"
-            ),
+            metric_rows,
+            "round int, scope string, key string, value long",
             mode="append",
         )
 

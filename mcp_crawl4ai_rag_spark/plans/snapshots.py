@@ -179,6 +179,115 @@ class SnapshotTable:
         os.replace(tmp, self.manifest_path)  # atomic pointer swap
         return SnapshotInfo(new_v, paths, extra or {})
 
+    def commit_rows(
+        self,
+        rows: list,
+        schema,
+        expected_version: int | None = None,
+        extra: dict | None = None,
+        mode: str = "overwrite",
+    ) -> SnapshotInfo:
+        """Driver-rows fast path: commit a small driver-local row list
+        (per-round metrics, lineage rows) as the next version WITHOUT a
+        Spark job — pyarrow writes the parquet file directly, then the same
+        atomic manifest swap as commit(). Readback is unchanged: the
+        manifest carries the equivalent Spark schema and spark.read.parquet
+        sees identical types (int→INT32, long→INT64, ...).
+
+        Use only for O(driver-memory) side tables — a crawl round's metric
+        rows are O(hosts + constants) by construction; data tables keep the
+        distributed writers. Cuts one full Spark job (~0.3-0.5 s of driver
+        scheduling latency) per round per table at any scale, since these
+        rows never live on executors in the first place.
+
+        schema: a pyspark StructType, or a simple DDL string
+        ("round int, scope string, key string, value long").
+        """
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.types import (
+            BooleanType,
+            DoubleType,
+            FloatType,
+            IntegerType,
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        _DDL = {
+            "int": IntegerType(),
+            "integer": IntegerType(),
+            "long": LongType(),
+            "bigint": LongType(),
+            "string": StringType(),
+            "double": DoubleType(),
+            "float": FloatType(),
+            "boolean": BooleanType(),
+        }
+        _PA = {
+            "integer": pa.int32(),
+            "long": pa.int64(),
+            "string": pa.string(),
+            "double": pa.float64(),
+            "float": pa.float32(),
+            "boolean": pa.bool_(),
+        }
+        if isinstance(schema, str):
+            fields = []
+            for part in schema.split(","):
+                name, typ = part.strip().rsplit(" ", 1)
+                if typ.lower() not in _DDL:
+                    raise ValueError(f"commit_rows: unsupported DDL type {typ!r}")
+                fields.append(StructField(name.strip(), _DDL[typ.lower()]))
+            struct = StructType(fields)
+        else:
+            struct = schema
+        try:
+            pa_fields = [
+                pa.field(f.name, _PA[f.dataType.typeName()]) for f in struct.fields
+            ]
+        except KeyError as e:  # nested/complex types stay on the Spark path
+            raise ValueError(f"commit_rows: unsupported type {e}") from None
+        pa_schema = pa.schema(pa_fields)
+        cols = list(zip(*rows)) if rows else [[] for _ in pa_fields]
+        table = pa.Table.from_arrays(
+            [pa.array(list(c), type=f.type) for c, f in zip(cols, pa_fields)],
+            schema=pa_schema,
+        )
+
+        cur = self.current()
+        cur_v = cur.version if cur else 0
+        if expected_version is not None and cur_v != expected_version:
+            raise CommitConflict(
+                f"{self.dir}: expected v{expected_version}, found v{cur_v}"
+            )
+        new_v = cur_v + 1
+        path = os.path.join(self.dir, f"d{new_v}")
+        os.makedirs(path, exist_ok=True)
+        pq.write_table(table, os.path.join(path, "part-00000.parquet"))
+        if mode == "append" and cur is not None:
+            paths = list(cur.paths) + [path]
+        else:
+            paths = [path]
+        manifest = {
+            "version": new_v,
+            "paths": paths,
+            "schema": struct.json(),
+            "committed_at": time.time(),
+            "extra": extra or {},
+        }
+        mpath = os.path.join(self.dir, f"m{new_v}.json")
+        with open(mpath, "w") as f:
+            json.dump(manifest, f)
+        tmp = self.manifest_path + f".tmp.{os.getpid()}.{time.time_ns()}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self.manifest_path)  # atomic pointer swap
+        return SnapshotInfo(new_v, paths, extra or {})
+
     def commit_partitioned(
         self,
         df: DataFrame,

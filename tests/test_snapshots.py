@@ -147,3 +147,37 @@ def test_snapshot_diff_multiset_cardinality(spark, tmp_path):
     t.commit(one.union(one))                          # v2: [1, 1]
     d = [(r["id"], r["change"]) for r in snapshot_diff(spark, t, 1, 2).collect()]
     assert d == [(1, "added")]  # exceptAll surfaces the extra copy
+
+
+def test_commit_rows_driver_fast_path(spark, tmp_path):
+    """pyarrow driver-rows commit interoperates with the Spark path: same
+    manifest shape, same read-back types, append across both writers."""
+    schema = "round int, scope string, key string, value long"
+    t = SnapshotTable(str(tmp_path), "metrics")
+    info = t.commit_rows([], schema)
+    assert info.version == 1
+    empty = t.read(spark)
+    assert empty.count() == 0
+    assert empty.schema.simpleString() == (
+        "struct<round:int,scope:string,key:string,value:bigint>"
+    )
+    t.commit_rows([(1, "round", "popped", 10), (1, "host:a", "popped", 7)],
+                  schema, mode="append")
+    # interleave a Spark-written append on the same table
+    t.commit(
+        spark.createDataFrame([(2, "round", "popped", 5)], schema), mode="append"
+    )
+    got = {(r["round"], r["scope"], r["key"], r["value"])
+           for r in t.read(spark).collect()}
+    assert got == {(1, "round", "popped", 10), (1, "host:a", "popped", 7),
+                   (2, "round", "popped", 5)}
+    assert t.read(spark).schema == spark.createDataFrame([], schema).schema
+
+
+def test_commit_rows_conflict_and_unsupported_type(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path), "m")
+    t.commit_rows([(1,)], "a int")
+    with pytest.raises(CommitConflict):
+        t.commit_rows([(2,)], "a int", expected_version=0)
+    with pytest.raises(ValueError):
+        t.commit_rows([], "a array<int>")
