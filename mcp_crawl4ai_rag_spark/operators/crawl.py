@@ -42,6 +42,7 @@ the surrounding plan is unchanged.
 from __future__ import annotations
 
 import os
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -196,6 +197,7 @@ class CrawlEngine:
         self.round_id = 0
         self.seq_counter = 0
         self.versions: dict[str, int] = {}
+        self._pool: ThreadPoolExecutor | None = None
         self.seen_bloom = BloomFilter(bloom_bits) if use_bloom else None
         self.seen_cuckoo = ShardedCuckoo() if use_cuckoo else None
 
@@ -207,6 +209,17 @@ class CrawlEngine:
     def _commit(self, tbl: SnapshotTable, name: str, df: DataFrame, **kw) -> None:
         info = tbl.commit(df, **kw)
         self.versions[name] = info.version
+
+    def _commit_pool(self) -> "ThreadPoolExecutor":
+        """Shared executor for overlapping independent table commits within
+        a round (lazily created, lives with the engine — rounds are
+        sequential by contract, so at most one round's commits are ever in
+        flight)."""
+        if self._pool is None:
+            self._pool = ThreadPoolExecutor(
+                max_workers=4, thread_name_prefix="crawl-commit"
+            )
+        return self._pool
 
     def _commit_rows(
         self, tbl: SnapshotTable, name: str, rows: list, schema: str, **kw
@@ -403,35 +416,53 @@ class CrawlEngine:
             )
             .withColumn("bucket", self._bucket())
         )
-        self._commit_pending_base(rows)
-        self._commit(
-            self.pending_delta_tbl,
-            "frontier_pending_delta",
-            self.spark.createDataFrame([], self._delta_schema()),
+        rows = rows.cache()
+        # materialize BEFORE fanning out: the two-stage rank's pinned
+        # intermediate must be fully cached once so concurrent consumers
+        # can't re-sample range boundaries into divergent seq orders
+        n = rows.count()
+        pool = self._commit_pool()
+        futures = [
+            pool.submit(self._commit_pending_base, rows),
+            pool.submit(
+                self._commit, self.hosts_tbl, "hosts", init_hosts(self._hosts_init)
+            ),
+            pool.submit(
+                self._commit,
+                self.documents_tbl,
+                "documents",
+                self.spark.createDataFrame(
+                    [],
+                    "url string, host string, depth int, fetch_round int, "
+                    "seq_in_round int, status int, content string, "
+                    "spans array<struct<kind:string,text:string,"
+                    "media_ref:string,offset:int>>",
+                ),
+            ),
+        ]
+        # empty flat-schema snapshots: driver fast path, no Spark job
+        self._commit_rows(
+            self.pending_delta_tbl, "frontier_pending_delta", [], self._delta_schema()
         )
-        self._commit(
+        self._commit_rows(
             self.fetched_tbl,
             "frontier_fetched",
-            self.spark.createDataFrame([], rows.select(*FRONTIER_COLS).schema),
-        )
-        self._commit(self.hosts_tbl, "hosts", init_hosts(self._hosts_init))
-        empty_docs = self.spark.createDataFrame(
             [],
-            "url string, host string, depth int, fetch_round int, seq_in_round int, "
-            "status int, content string, spans array<struct<kind:string,text:string,"
-            "media_ref:string,offset:int>>",
+            "url string, url_hash long, host string, depth int, priority int, "
+            "seq long, state string, attempts int",
         )
-        self._commit(self.documents_tbl, "documents", empty_docs)
         self._commit_rows(
             self.metrics_tbl,
             "metrics",
             [],
             "round int, scope string, key string, value long",
         )
-        n = rows.count()
         self.seq_counter = n
         self._maintain_filters(rows.select("url_hash"))
+        for fut in futures:
+            fut.result()
         pinned.unpersist()
+        rows.unpersist()
         self._save_checkpoint()
         return n
 
@@ -583,6 +614,20 @@ class CrawlEngine:
             .cache()
         )
 
+        # Independent table commits overlap with the round's main-thread
+        # work (link pipeline, stats): each commit is a separate Spark job
+        # whose ~0.3-0.5 s of scheduling latency would otherwise serialize.
+        # Safe because every commit targets a distinct table (per-table
+        # version sequences — and thus all committed state — are identical
+        # to the serial schedule), all reads in this round pin versions
+        # captured before the corresponding submit, and the checkpoint is
+        # only written after every future is joined. Concurrent first
+        # actions may compute a cached `enriched` partition twice (Spark's
+        # cache doesn't block cross-job) — bounded by batch_size, never by
+        # frontier size.
+        pool = self._commit_pool()
+        futures: list = []
+
         # documents fast-append (S4 content sink)
         docs = enriched.where(F.col("outcome") == "fetched").select(
             "url",
@@ -594,7 +639,9 @@ class CrawlEngine:
             F.col("text").alias("content"),
             F.col("clean_spans").alias("spans"),
         )
-        self._commit(self.documents_tbl, "documents", docs, mode="append")
+        futures.append(
+            pool.submit(self._commit, self.documents_tbl, "documents", docs, mode="append")
+        )
 
         # link pipeline (P5→P1→P2→J6→J3)
         links = (
@@ -651,6 +698,14 @@ class CrawlEngine:
                 self._read(self.fetched_tbl, "frontier_fetched").select("url")
             )
         )
+        # seen_urls has pinned the PRE-append fetched version above, so the
+        # append can proceed concurrently with the link pipeline
+        futures.append(
+            pool.submit(
+                self._commit, self.fetched_tbl, "frontier_fetched",
+                fetched_now, mode="append",
+            )
+        )
 
         fresh = new_urls(
             cand,
@@ -700,7 +755,8 @@ class CrawlEngine:
         adds = (
             retries.unionByName(new_rows.select(*FRONTIER_COLS_PENDING))
         ).withColumn("op", F.lit("add"))
-        self._commit(
+        fut_delta = pool.submit(
+            self._commit,
             self.pending_delta_tbl,
             "frontier_pending_delta",
             dels.unionByName(adds),
@@ -709,9 +765,10 @@ class CrawlEngine:
             # delta and its op cardinalities — time travel + audit
             extra={"round": self.round_id, "dels": n_popped, "adds": n_new},
         )
-        self._commit(self.fetched_tbl, "frontier_fetched", fetched_now, mode="append")
+        futures.append(fut_delta)
         self.seq_counter += n_new
         if self.compact_every and self.round_id % self.compact_every == 0:
+            fut_delta.result()  # compaction folds the delta it just wrote
             self._compact_pending()
 
         # one stats pass: per-(host, outcome) counts + per-page-deduped link
@@ -742,7 +799,12 @@ class CrawlEngine:
         popped_counts = self.spark.createDataFrame(
             list(host_popped.items()), "host string, popped long"
         )
-        self._commit(self.hosts_tbl, "hosts", charge_hosts(hosts, popped_counts))
+        futures.append(
+            pool.submit(
+                self._commit, self.hosts_tbl, "hosts",
+                charge_hosts(hosts, popped_counts),
+            )
+        )
 
         m = {
             "round": self.round_id,
@@ -771,6 +833,10 @@ class CrawlEngine:
             new_rows.select("url_hash"),
             dead.select("url_hash") if self.use_cuckoo else None,
         )
+        # barrier: every commit must be durable (a raised CommitConflict or
+        # write error surfaces here) before the checkpoint pointer advances
+        for fut in futures:
+            fut.result()
         self._save_checkpoint()
         # long crawls would otherwise accumulate O(rounds) pending-table
         # rewrites; keep a bounded time-travel window (checkpoint pins the
