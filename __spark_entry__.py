@@ -611,6 +611,32 @@ def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BOILERPLATE = " ".join(f"bp{j}" for j in range(20))
+
+
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring spans (Lee et al. 2021 substring-dedup
+    shape): maximal >= k-token runs shared verbatim across >= 2 docs,
+    via shingle-hash shuffle + per-doc gaps-and-islands merge
+    (operators/dedup.duplicated_token_spans). A 20-token boilerplate is
+    planted on every 5th doc; the DuckDB twin groups on the shingle
+    STRING (no xxhash64 there) — identical result, and the comparison
+    itself certifies the hash grouping is collision-free here."""
+    from mcp_crawl4ai_rag_spark.operators.dedup import duplicated_token_spans
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit(" " + _BOILERPLATE)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return duplicated_token_spans(planted, "text", "doc_id", k=10, min_df=2)
+
+
 def q_span_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interleaved text+media span construction from flat text (the
     engine's document payload model), pure Column expressions: 10-token
@@ -1034,6 +1060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "sample_stratified": q_sample_stratified,
         "gopher_filter": q_gopher_filter,
+        "dedup_substring": q_dedup_substring,
         "link_pagerank": q_link_pagerank,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
@@ -1272,6 +1299,37 @@ def oracle_sql() -> dict[str, str]:
                 WHEN 'en' THEN '{_rth(0.5)}'
                 WHEN 'zh' THEN '{_rth(0.2)}'
                 ELSE '{_rth(0.1)}' END
+        """,
+        "dedup_substring": f"""
+            WITH planted AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0 THEN text || ' {_BOILERPLATE}'
+                          ELSE text END AS text
+              FROM documents),
+            toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM planted),
+            sh AS (
+              SELECT doc_id, CAST(i AS INTEGER) AS pos,
+                     array_to_string(t[i:i+9], ' ') AS s
+              FROM (SELECT doc_id, t,
+                           unnest(generate_series(1, len(t) - 9)) AS i
+                    FROM toks) x),
+            dup AS (SELECT s FROM sh GROUP BY s
+                    HAVING COUNT(DISTINCT doc_id) >= 2),
+            hits AS (SELECT doc_id, pos FROM sh JOIN dup USING (s)),
+            isl AS (
+              SELECT doc_id, pos,
+                     CASE WHEN lag(pos) OVER w IS NULL
+                            OR pos - lag(pos) OVER w > 10 THEN 1
+                          ELSE 0 END AS brk
+              FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+            grp AS (
+              SELECT doc_id, pos,
+                     SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+              FROM isl)
+            SELECT doc_id, CAST(MIN(pos) AS INTEGER) AS span_start,
+                   CAST(MAX(pos) + 9 AS INTEGER) AS span_end,
+                   COUNT(*) AS n_shingles
+            FROM grp GROUP BY doc_id, island
         """,
         "gopher_filter": r"""
             WITH words AS (

@@ -29,7 +29,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import BooleanType
@@ -811,3 +811,73 @@ def winnow_near_duplicates(
             F.round(F.col("shared") / F.least("n_a", "n_b"), 6).alias("overlap"),
         )
     )
+
+
+def duplicated_token_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 10,
+    min_df: int = 2,
+) -> DataFrame:
+    """Exact duplicated-substring detection (the Lee et al. 2021 "dedup
+    makes LMs better" substring pass): find every maximal token span of
+    length >= k that occurs verbatim in >= min_df distinct documents.
+
+    Returns (doc_id, span_start, span_end, n_shingles) — token positions
+    (1-based, inclusive) of each maximal duplicated region per document,
+    built by merging overlapping duplicated k-shingles (gaps-and-islands:
+    consecutive hit positions <= k apart extend the same island).
+
+    Scale shape: explode k-token shingles with positions (O(total
+    tokens) rows), reduce to shingle -> distinct-doc count on the 64-bit
+    shingle hash (uniform keys, one shuffle; the hash — not the ~10-token
+    string — is what shuffles), semi-join hits back, then a per-document
+    window for the interval merge (per-doc row counts are bounded by doc
+    length, so no single-task funnel). No pairwise comparison anywhere —
+    cost is O(tokens + duplicated positions), not O(docs^2).
+    """
+    toks = F.split(F.col(text_col), " ")
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.when(
+                F.size(toks) >= k,
+                F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+            ).otherwise(F.expr("CAST(array() AS array<int>)"))
+        ).alias("pos"),
+        toks.alias("__toks"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.xxhash64(F.array_join(F.slice(F.col("__toks"), F.col("pos"), k), " ")).alias(
+            "h"
+        ),
+    )
+    dup = (
+        sh.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .where(F.col("df") >= min_df)
+        .select("h")
+    )
+    hits = sh.join(dup, "h", "left_semi").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = (
+        hits.withColumn(
+            "brk",
+            F.when(
+                F.lag("pos").over(w).isNull()
+                | (F.col("pos") - F.lag("pos").over(w) > k),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "island",
+            F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    return islands.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+        F.count("*").alias("n_shingles"),
+    ).drop("island")
