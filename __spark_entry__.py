@@ -611,6 +611,22 @@ def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword relevance over documents (the upgrade path beyond the
+    reference's ILIKE tier, operators/search.bm25_rank): tf restricted to
+    query terms below the shuffle, tiny df/corpus aggregates broadcast
+    back, codegen score sum. Deterministic top-k: rounded score DESC, id
+    ASC. DuckDB twin runs the identical Robertson-Sparck Jones formula."""
+    from mcp_crawl4ai_rag_spark.operators.search import bm25_rank
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), F.col("text").alias("content")
+    )
+    return bm25_rank(d, ["join", "merge", "filter"], k=25).select(
+        "id", "score", "n_terms_matched"
+    )
+
+
 _BOILERPLATE = " ".join(f"bp{j}" for j in range(20))
 
 
@@ -1061,6 +1077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "gopher_filter": q_gopher_filter,
         "dedup_substring": q_dedup_substring,
+        "bm25_rank": q_bm25_rank,
         "link_pagerank": q_link_pagerank,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
@@ -1299,6 +1316,39 @@ def oracle_sql() -> dict[str, str]:
                 WHEN 'en' THEN '{_rth(0.5)}'
                 WHEN 'zh' THEN '{_rth(0.2)}'
                 ELSE '{_rth(0.1)}' END
+        """,
+        "bm25_rank": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t
+              FROM documents
+            ),
+            lens AS (SELECT doc_id, len(t) AS dl FROM toks),
+            stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM lens),
+            hits AS (
+              SELECT doc_id, w, COUNT(*) AS tf
+              FROM (SELECT doc_id, unnest(t) AS w FROM toks) x
+              WHERE w IN ('join', 'merge', 'filter')
+              GROUP BY doc_id, w
+            ),
+            dfs AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM hits GROUP BY w),
+            scored AS (
+              SELECT h.doc_id,
+                     SUM(
+                       ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                       * (h.tf * 2.2)
+                       / (h.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))
+                     ) AS score,
+                     COUNT(*) AS n_terms_matched
+              FROM hits h
+              JOIN dfs d USING (w)
+              JOIN lens l ON h.doc_id = l.doc_id
+              CROSS JOIN stats s
+              GROUP BY h.doc_id
+            )
+            SELECT doc_id AS id, ROUND(score, 6) AS score, n_terms_matched
+            FROM scored
+            ORDER BY ROUND(score, 6) DESC, doc_id ASC
+            LIMIT 25
         """,
         "dedup_substring": f"""
             WITH planted AS (

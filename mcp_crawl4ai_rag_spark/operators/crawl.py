@@ -207,6 +207,11 @@ class CrawlEngine:
         return tbl.read(self.spark, self.versions.get(name))
 
     def _commit(self, tbl: SnapshotTable, name: str, df: DataFrame, **kw) -> None:
+        # appends extend the engine's PINNED version, not the manifest's
+        # current — orphan versions from a torn (crashed) round stay out of
+        # the lineage after resume instead of being resurrected
+        if kw.get("mode") == "append":
+            kw.setdefault("parent_version", self.versions.get(name))
         info = tbl.commit(df, **kw)
         self.versions[name] = info.version
 
@@ -226,6 +231,8 @@ class CrawlEngine:
     ) -> None:
         """Driver-rows commit (no Spark job) — metrics/lineage side tables
         whose rows are O(hosts) and already live on the driver."""
+        if kw.get("mode") == "append":
+            kw.setdefault("parent_version", self.versions.get(name))
         info = tbl.commit_rows(rows, schema, **kw)
         self.versions[name] = info.version
 

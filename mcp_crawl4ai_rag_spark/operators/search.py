@@ -219,3 +219,75 @@ def stats_rollup(pages: DataFrame, chunks: DataFrame, content_col: str = "conten
             2,
         ).alias("processed_pct"),
     )
+
+
+def bm25_rank(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    id_col: str = "id",
+    content_col: str = "content",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 ranking over whitespace tokens — the upgrade path beyond the
+    reference's ILIKE keyword tier (operations.py:189-198): proper
+    tf/idf/length-normalized relevance, still fully declarative.
+
+    Plan shape (scale notes): one explode + two-level aggregation computes
+    per-(doc, term) tf restricted to the query terms (the filter on term
+    is pushed below the shuffle, so only matching tokens shuffle —
+    O(query-term hits), not O(tokens)); document frequencies and the
+    corpus stats are tiny aggregates broadcast back; the score is a
+    whole-stage-codegen sum. idf uses the standard Robertson-Sparck Jones
+    form log(1 + (N - df + 0.5)/(df + 0.5)); avgdl over ALL docs.
+    """
+    terms = [t.lower() for t in query_terms]
+    toks = F.split(F.lower(F.col(content_col)), r"\s+")
+    lens = docs.select(
+        F.col(id_col).alias("__id"), F.size(toks).alias("__dl")
+    ).cache()
+    stats = lens.agg(
+        F.count("*").alias("n_docs"), F.avg("__dl").alias("avgdl")
+    )
+    hits = (
+        docs.select(F.col(id_col).alias("__id"), F.explode(toks).alias("__t"))
+        .where(F.col("__t").isin(terms))
+        .groupBy("__id", "__t")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = hits.groupBy("__t").agg(F.countDistinct("__id").alias("df"))
+    scored = (
+        hits.join(F.broadcast(df_), "__t")
+        .join(lens, "__id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (
+                F.col("tf")
+                + k1 * (1 - b + b * F.col("__dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("__id")
+        .agg(
+            F.sum("term_score").alias("score"),
+            F.count("*").alias("n_terms_matched"),
+        )
+    )
+    return (
+        docs.join(scored, docs[id_col] == scored["__id"])
+        .drop("__id")
+        .withColumn("score", F.round("score", 6))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )

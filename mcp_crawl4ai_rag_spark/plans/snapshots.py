@@ -136,6 +136,7 @@ class SnapshotTable:
         partition_by: list[str] | None = None,
         extra: dict | None = None,
         mode: str = "overwrite",
+        parent_version: int | None = None,
     ) -> SnapshotInfo:
         """Write df as the next version; atomic manifest swap.
 
@@ -145,6 +146,13 @@ class SnapshotTable:
           rewrite of existing data).
         - ``expected_version`` enables optimistic concurrency (None = don't
           care).
+        - ``parent_version`` (append mode): extend THAT version's file list
+          instead of the current manifest's. A committer holding pinned
+          versions (the crawl engine after a resume) passes its pin so
+          orphan versions from a torn round — committed but never
+          checkpointed — drop out of the lineage instead of being silently
+          resurrected by the next append. Version numbers stay monotonic
+          (always current+1).
         - ``partition_by`` materializes partition pruning for readers.
         """
         cur = self.current()
@@ -160,7 +168,12 @@ class SnapshotTable:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(path)
         if mode == "append" and cur is not None:
-            paths = list(cur.paths) + [path]
+            base = (
+                self._manifest(parent_version)["paths"]
+                if parent_version is not None
+                else cur.paths
+            )
+            paths = list(base) + [path]
         else:
             paths = [path]
         manifest = {
@@ -186,6 +199,7 @@ class SnapshotTable:
         expected_version: int | None = None,
         extra: dict | None = None,
         mode: str = "overwrite",
+        parent_version: int | None = None,
     ) -> SnapshotInfo:
         """Driver-rows fast path: commit a small driver-local row list
         (per-round metrics, lineage rows) as the next version WITHOUT a
@@ -269,7 +283,12 @@ class SnapshotTable:
         os.makedirs(path, exist_ok=True)
         pq.write_table(table, os.path.join(path, "part-00000.parquet"))
         if mode == "append" and cur is not None:
-            paths = list(cur.paths) + [path]
+            base = (
+                self._manifest(parent_version)["paths"]
+                if parent_version is not None
+                else cur.paths
+            )
+            paths = list(base) + [path]
         else:
             paths = [path]
         manifest = {

@@ -259,3 +259,63 @@ def test_resume_rebuilds_lost_filter_state(spark, tmp_path, web):
         for r in resumed.crawl_order().collect()
     )
     assert a == b
+
+
+def test_resume_ignores_orphan_commits(spark, tmp_path, web):
+    """A crash AFTER some of a round's (now-concurrent) table commits but
+    BEFORE the checkpoint pointer advances leaves orphan snapshot versions
+    on disk. Resume must pin the checkpointed versions — the orphans are
+    invisible — and the continued crawl must equal an uninterrupted one."""
+    hosts_df = spark.createDataFrame(
+        [(h, 1e9, 1e9) for h, _, _ in web.hosts],
+        "host string, capacity double, refill_rate double",
+    )
+    corpus_df = web.corpus_df(spark)
+    robots_df = web.robots_df(spark)
+
+    full = CrawlEngine(
+        spark, corpus_df, robots_df, hosts_df, str(tmp_path / "full2"),
+        batch_size=30, max_attempts=3,
+    )
+    full.seed(web.seeds)
+    full.run(max_rounds=200)
+
+    part = CrawlEngine(
+        spark, corpus_df, robots_df, hosts_df, str(tmp_path / "part2"),
+        batch_size=30, max_attempts=3,
+    )
+    part.seed(web.seeds)
+    for _ in range(2):
+        part.round()
+
+    # simulate the torn round: orphan commits land in documents (a bogus
+    # appended row) and metrics (a bogus round) with NO checkpoint update
+    bogus = spark.createDataFrame(
+        [("https://bogus.example/x", "bogus.example", 0, 99, 0, 200, "junk", [])],
+        part.documents_tbl.read(spark).schema,
+    )
+    part.documents_tbl.commit(bogus, mode="append")
+    part.metrics_tbl.commit_rows(
+        [(99, "round", "popped", 1)],
+        "round int, scope string, key string, value long",
+        mode="append",
+    )
+
+    resumed = CrawlEngine.resume(
+        spark, corpus_df, robots_df, str(tmp_path / "part2"), max_attempts=3
+    )
+    # pinned reads: the orphan rows are invisible to the resumed engine
+    assert resumed.documents().where("url like 'https://bogus%'").count() == 0
+    assert resumed.metrics().where("round = 99").count() == 0
+    resumed.run(max_rounds=200)
+
+    a = sorted(
+        (r["url"], r["fetch_round"], r["seq_in_round"])
+        for r in full.crawl_order().collect()
+    )
+    b = sorted(
+        (r["url"], r["fetch_round"], r["seq_in_round"])
+        for r in resumed.crawl_order().collect()
+    )
+    assert a == b
+    assert resumed.documents().where("url like 'https://bogus%'").count() == 0
