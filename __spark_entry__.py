@@ -611,6 +611,53 @@ def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass (training-data hygiene): plant deterministic
+    emails/IPs/phones on a third of the docs each, scrub with the typed
+    placeholders, report scrubbed text + per-kind counts
+    (functions/text.scrub_pii — pure regexp_replace chain, JVM codegen).
+    DuckDB twin uses the identical RE2-compatible patterns with the 'g'
+    flag (Spark's regexp_replace is global by default)."""
+    from mcp_crawl4ai_rag_spark.functions.text import count_pii, scrub_pii
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            )
+            .when(
+                F.col("doc_id") % 3 == 1,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".7 and +4930"),
+                    (F.col("doc_id") % 1000000 + 1000000).cast("string"),
+                ),
+            )
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return planted.select(
+        "doc_id",
+        scrub_pii(F.col("text")).alias("scrubbed"),
+        count_pii(F.col("text")).alias("pii"),
+    ).select(
+        "doc_id",
+        "scrubbed",
+        F.col("pii.emails").alias("n_emails"),
+        F.col("pii.ipv4").alias("n_ipv4"),
+        F.col("pii.phones").alias("n_phones"),
+    )
+
+
 def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 keyword relevance over documents (the upgrade path beyond the
     reference's ILIKE tier, operators/search.bm25_rank): tf restricted to
@@ -1078,6 +1125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filter": q_gopher_filter,
         "dedup_substring": q_dedup_substring,
         "bm25_rank": q_bm25_rank,
+        "pii_scrub": q_pii_scrub,
         "link_pagerank": q_link_pagerank,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
@@ -1316,6 +1364,36 @@ def oracle_sql() -> dict[str, str]:
                 WHEN 'en' THEN '{_rth(0.5)}'
                 WHEN 'zh' THEN '{_rth(0.2)}'
                 ELSE '{_rth(0.1)}' END
+        """,
+        "pii_scrub": r"""
+            WITH planted AS (
+              SELECT doc_id,
+                     text || CASE
+                       WHEN doc_id % 3 = 0 THEN
+                         ' contact user' || CAST(doc_id AS VARCHAR)
+                         || '@example.com now'
+                       WHEN doc_id % 3 = 1 THEN
+                         ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                         || '.7 and +4930'
+                         || CAST(doc_id % 1000000 + 1000000 AS VARCHAR)
+                       ELSE '' END AS text
+              FROM documents)
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(text,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                         '<EMAIL>', 'g'),
+                       '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+                     '\+[0-9]{7,15}\b', '<PHONE>', 'g') AS scrubbed,
+                   len(regexp_extract_all(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                     AS n_emails,
+                   len(regexp_extract_all(text,
+                     '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS n_ipv4,
+                   len(regexp_extract_all(text, '\+[0-9]{7,15}\b'))
+                     AS n_phones
+            FROM planted
         """,
         "bm25_rank": r"""
             WITH toks AS (

@@ -191,3 +191,33 @@ def ngram_jaccard(a: Column, b: Column, k: int = 5) -> Column:
     join, prefer ``word_shingle_set`` per side + ``jaccard_from_shingle_sets``
     so shingling is O(docs), not O(pairs)."""
     return jaccard_from_shingle_sets(word_shingle_set(a, k), word_shingle_set(b, k))
+
+
+# PII scrubbing (training-data hygiene): patterns restricted to syntax
+# Java regex and RE2 (the DuckDB oracle engine) interpret identically —
+# no lookarounds, no backrefs. Order matters: emails before bare hosts,
+# IPs before phone digits.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"
+PII_PHONE_RE = r"\+[0-9]{7,15}\b"
+
+
+def count_pii(col: Column) -> Column:
+    """Struct of per-kind PII match counts (emails, ipv4, phones) — the
+    audit signal a scrubbing pass reports per document."""
+    return F.struct(
+        F.size(F.regexp_extract_all(col, F.lit(PII_EMAIL_RE), F.lit(0))).alias("emails"),
+        F.size(F.regexp_extract_all(col, F.lit(PII_IPV4_RE), F.lit(0))).alias("ipv4"),
+        F.size(F.regexp_extract_all(col, F.lit(PII_PHONE_RE), F.lit(0))).alias("phones"),
+    )
+
+
+def scrub_pii(col: Column) -> Column:
+    """Redact emails / IPv4 addresses / +international phone numbers with
+    typed placeholder tokens. Pure Column regexp_replace chain — JVM
+    whole-stage codegen, no UDF, linear in text size; idempotent (the
+    placeholders match none of the patterns)."""
+    out = F.regexp_replace(col, PII_EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, PII_IPV4_RE, "<IP>")
+    out = F.regexp_replace(out, PII_PHONE_RE, "<PHONE>")
+    return out
