@@ -148,3 +148,42 @@ def read_robots_dir(
         )
     )
     return parse_robots_frame(files, agent)
+
+
+def parse_robots_sitemaps(text: str) -> list[str]:
+    """``Sitemap:`` directives from one robots.txt body. Per the
+    sitemaps.org protocol these are GLOBAL — valid anywhere in the file,
+    never scoped to a user-agent group — so this is a flat line scan
+    (first ``:`` splits the field; the URL's own ``://`` survives)."""
+    out = []
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        if field.strip().lower() == "sitemap" and value.strip():
+            out.append(value.strip())
+    return out
+
+
+def sitemaps_from_robots(files: DataFrame) -> DataFrame:
+    """(host string, content binary) → (host, sitemap_url) — the seed
+    DISCOVERY loop: fetched robots.txt bodies advertise their sitemaps,
+    which feed sources/seeds.read_seed_sources → CrawlEngine.seed_df
+    (priority-ordered frontier inserts). Arrow-batched mapInPandas, one
+    task per partition of robots bodies; output is tiny (O(hosts))."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            hosts, urls = [], []
+            for host, blob in zip(batch["host"], batch["content"]):
+                for u in parse_robots_sitemaps(
+                    bytes(blob).decode("utf-8", errors="replace")
+                ):
+                    hosts.append(host)
+                    urls.append(u)
+            yield pd.DataFrame({"host": hosts, "sitemap_url": urls})
+
+    return files.select("host", "content").mapInPandas(
+        run, "host string, sitemap_url string"
+    )

@@ -176,3 +176,38 @@ def test_wildcard_rules_flow_from_robots_txt(spark, tmp_path):
         r["url"] for r in robots_allowed(with_host_and_path(urls), robots_df).collect()
     }
     assert kept == {"https://h.example/ok", "https://h.example/f.bak.txt"}
+
+
+def test_sitemap_discovery_from_robots(spark, tmp_path):
+    """Sitemap: directives are global (sitemaps.org) — collected from
+    anywhere in the file, including inside user-agent groups, and the
+    URL's own colons survive the field split."""
+    from mcp_crawl4ai_rag_spark.sources.robots import (
+        parse_robots_sitemaps,
+        sitemaps_from_robots,
+    )
+
+    body = (
+        "Sitemap: https://a.example/sitemap.xml\n"
+        "User-agent: *\n"
+        "Disallow: /private/\n"
+        "Sitemap: https://a.example/sitemap-news.xml  \n"
+        "# Sitemap: https://a.example/commented-out.xml\n"
+        "sitemap: https://a.example/lowercase.xml\n"
+    )
+    assert parse_robots_sitemaps(body) == [
+        "https://a.example/sitemap.xml",
+        "https://a.example/sitemap-news.xml",
+        "https://a.example/lowercase.xml",
+    ]
+    files = spark.createDataFrame(
+        [("a.example", bytearray(body.encode())),
+         ("b.example", bytearray(b"User-agent: *\nDisallow:\n"))],
+        "host string, content binary",
+    )
+    got = {(r["host"], r["sitemap_url"]) for r in sitemaps_from_robots(files).collect()}
+    assert got == {
+        ("a.example", "https://a.example/sitemap.xml"),
+        ("a.example", "https://a.example/sitemap-news.xml"),
+        ("a.example", "https://a.example/lowercase.xml"),
+    }
