@@ -611,6 +611,32 @@ def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NFD_TAIL = " café Ångström"  # decomposed; NFC composes
+
+
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization pass: decomposed combining sequences are
+    planted on half the docs; the pandas Series.str.normalize kernel
+    (functions/text.make_unicode_normalize_udf) must agree byte-for-byte
+    with DuckDB's nfc_normalize builtin — two independent Unicode
+    implementations cross-checking the kernel."""
+    from mcp_crawl4ai_rag_spark.functions.text import make_unicode_normalize_udf
+
+    norm = make_unicode_normalize_udf("NFC")
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, F.concat(F.col("text"), F.lit(_NFD_TAIL)))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return planted.select(
+        "doc_id",
+        norm(F.col("text")).alias("normalized"),
+        (norm(F.col("text")) != F.col("text")).alias("changed"),
+    )
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction pass (training-data hygiene): plant deterministic
     emails/IPs/phones on a third of the docs each, scrub with the typed
@@ -1126,6 +1152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring": q_dedup_substring,
         "bm25_rank": q_bm25_rank,
         "pii_scrub": q_pii_scrub,
+        "text_normalize": q_text_normalize,
         "link_pagerank": q_link_pagerank,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
@@ -1364,6 +1391,17 @@ def oracle_sql() -> dict[str, str]:
                 WHEN 'en' THEN '{_rth(0.5)}'
                 WHEN 'zh' THEN '{_rth(0.2)}'
                 ELSE '{_rth(0.1)}' END
+        """,
+        "text_normalize": f"""
+            WITH planted AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 2 = 0 THEN text || '{_NFD_TAIL}'
+                          ELSE text END AS text
+              FROM documents)
+            SELECT doc_id,
+                   nfc_normalize(text) AS normalized,
+                   (nfc_normalize(text) <> text) AS changed
+            FROM planted
         """,
         "pii_scrub": r"""
             WITH planted AS (

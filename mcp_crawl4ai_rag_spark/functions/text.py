@@ -221,3 +221,23 @@ def scrub_pii(col: Column) -> Column:
     out = F.regexp_replace(out, PII_IPV4_RE, "<IP>")
     out = F.regexp_replace(out, PII_PHONE_RE, "<PHONE>")
     return out
+
+
+def make_unicode_normalize_udf(form: str = "NFC"):
+    """Unicode normalization (NFC/NFKC/...) as an Arrow-batched pandas UDF
+    — Spark has no normalization builtin; pandas' vectorized
+    ``Series.str.normalize`` wraps the same unicodedata tables DuckDB's
+    ``nfc_normalize`` implements, so the oracle cross-checks the kernel."""
+    from pyspark.sql.functions import pandas_udf as _pudf
+
+    @_pudf("string")
+    def norm(s: pd.Series) -> pd.Series:
+        return s.str.normalize(form)
+
+    return norm
+
+
+def strip_control_chars(col: Column) -> Column:
+    """Drop C0 control characters except tab/newline/carriage-return —
+    the standard pre-tokenization cleanup; pure Column regexp."""
+    return F.regexp_replace(col, r"[\x00-\x08\x0b\x0c\x0e-\x1f]", "")
