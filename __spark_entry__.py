@@ -637,6 +637,24 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing (concat-and-chunk): global token offset
+    per document in doc_id order, sequence id and in-sequence position at
+    seq_len=2048 (operators/packing.pack_offsets). threshold=0 forces the
+    two-stage distributed prefix sum — the gate certifies the
+    multi-partition cumsum exactly against DuckDB's window cumsum."""
+    from mcp_crawl4ai_rag_spark.functions.text import token_count
+    from mcp_crawl4ai_rag_spark.operators.packing import pack_offsets
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", token_count(F.col("text")).cast("long").alias("n_tokens"))
+    )
+    return pack_offsets(
+        d, "n_tokens", ["doc_id"], seq_len=2048, rank_window_threshold=0
+    )
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction pass (training-data hygiene): plant deterministic
     emails/IPs/phones on a third of the docs each, scrub with the typed
@@ -1153,6 +1171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_rank": q_bm25_rank,
         "pii_scrub": q_pii_scrub,
         "text_normalize": q_text_normalize,
+        "seq_packing": q_seq_packing,
         "link_pagerank": q_link_pagerank,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
@@ -1402,6 +1421,23 @@ def oracle_sql() -> dict[str, str]:
                    nfc_normalize(text) AS normalized,
                    (nfc_normalize(text) <> text) AS changed
             FROM planted
+        """,
+        "seq_packing": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+              FROM documents),
+            c AS (
+              SELECT doc_id, n_tokens,
+                     COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS token_offset
+              FROM t)
+            SELECT doc_id, n_tokens, token_offset,
+                   token_offset // 2048 AS seq_id,
+                   token_offset % 2048 AS offset_in_seq
+            FROM c
         """,
         "pii_scrub": r"""
             WITH planted AS (

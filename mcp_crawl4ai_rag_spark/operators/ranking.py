@@ -79,3 +79,65 @@ def with_global_rank(
             "__pid", "__lidx"
         )
     return ranked, pinned
+
+
+def with_global_cumsum(
+    df: DataFrame,
+    val_col: str,
+    order_cols: list,
+    cumsum_col: str = "__cumsum",
+    npartitions: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Append the EXCLUSIVE global prefix sum of ``val_col`` in
+    ``order_cols`` order (each row gets the sum of all values strictly
+    before it) — the distributed prefix-sum twin of ``with_global_rank``:
+    range partition + local cumsum, per-partition totals (one tiny row
+    each) cumulated on the driver and broadcast back. Never a
+    single-partition window.
+
+    Returns ``(summed, pinned)``; unpersist ``pinned`` after consuming.
+    """
+    spark = df.sparkSession
+    n = npartitions or spark.sparkContext.defaultParallelism
+    d = (
+        df.repartitionByRange(n, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    out_schema = StructType(
+        d.schema.fields + [StructField("__lsum", LongType(), False)]
+    )
+    vcol = val_col
+
+    def add_local_cumsum(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc = 0
+        for b in batches:
+            b = b.copy()
+            c = b[vcol].astype("int64").cumsum()
+            b["__lsum"] = acc + c - b[vcol].astype("int64")  # exclusive
+            acc += int(b[vcol].sum())
+            yield b
+
+    pinned = d.mapInPandas(add_local_cumsum, out_schema).cache()
+    totals = {
+        r["__pid"]: r["s"]
+        for r in pinned.groupBy("__pid")
+        .agg(F.sum(vcol).cast("long").alias("s"))
+        .collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(totals):
+        offsets.append((pid, acc))
+        acc += int(totals[pid] or 0)
+    if offsets:
+        off_df = spark.createDataFrame(offsets, "__pid int, __off long")
+        summed = (
+            pinned.join(F.broadcast(off_df), "__pid")
+            .withColumn(cumsum_col, F.col("__lsum") + F.col("__off"))
+            .drop("__pid", "__lsum")
+        )
+    else:
+        summed = pinned.withColumn(cumsum_col, F.col("__lsum")).drop(
+            "__pid", "__lsum"
+        )
+    return summed, pinned
