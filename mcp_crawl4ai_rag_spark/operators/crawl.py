@@ -520,6 +520,60 @@ class CrawlEngine:
         matched.unpersist()
         return n
 
+    def purge_host(self, host: str) -> int:
+        """Drop every PENDING url of one host in O(bucket) I/O — the
+        partition-pruned maintenance path the host-bucket layout exists
+        for (a host taken out of scope, gone dead, or newly disallowed).
+
+        The host's bucket is computed driver-side (pmod(xxhash64(host),
+        host_buckets) — same expression as ``_bucket``); only that one
+        partition directory is scanned (SnapshotTable.read(partitions=
+        [bucket]) manifest pruning) and only delta 'del' rows are
+        written, O(matched). Fetched/documents history is untouched.
+        Note: purged PENDING urls leave the seen set (the same delete
+        semantics as dead URLs); to keep a purged host out permanently,
+        also add a disallow rule to the robots table — admission filters
+        on robots BEFORE dedup. Resume-safe like any delta commit."""
+        bucket = (
+            self.spark.range(1)
+            .select(
+                F.pmod(F.xxhash64(F.lit(host)), F.lit(self.host_buckets))
+                .cast("int")
+                .alias("b")
+            )
+            .first()["b"]
+        )
+        base = self.pending_tbl.read(
+            self.spark, self.versions.get("frontier_pending"), partitions=[bucket]
+        )
+        delta = self._read(self.pending_delta_tbl, "frontier_pending_delta")
+        adds = delta.where((F.col("op") == "add") & (F.col("host") == host)).drop("op")
+        dels_existing = delta.where(F.col("op") == "del").select(
+            "url", "seq", "attempts", "priority"
+        )
+        live = (
+            base.where(F.col("host") == host)
+            .unionByName(adds)
+            .join(
+                F.broadcast(dels_existing),
+                ["url", "seq", "attempts", "priority"],
+                "left_anti",
+            )
+            .cache()
+        )
+        n = live.count()
+        if n:
+            self._commit(
+                self.pending_delta_tbl,
+                "frontier_pending_delta",
+                live.select(*FRONTIER_COLS_PENDING).withColumn("op", F.lit("del")),
+                mode="append",
+                extra={"round": self.round_id, "purged_host": host, "dels": n},
+            )
+            self._save_checkpoint()
+        live.unpersist()
+        return n
+
     # -- seen-filter maintenance ---------------------------------------------
 
     def _maintain_filters(

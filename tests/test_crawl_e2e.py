@@ -14,6 +14,7 @@ Asserts (SURVEY.md §5.2 / north rule):
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from mcp_crawl4ai_rag_spark.operators.crawl import CrawlEngine
 from mcp_crawl4ai_rag_spark.oracle.simulator import CrawlSimulator
@@ -319,3 +320,53 @@ def test_resume_ignores_orphan_commits(spark, tmp_path, web):
     )
     assert a == b
     assert resumed.documents().where("url like 'https://bogus%'").count() == 0
+
+
+def test_purge_host_partition_pruned(spark, tmp_path, web):
+    """purge_host drops exactly one host's pending rows via the
+    partition-pruned bucket read + O(matched) delta dels; other hosts'
+    rows, fetched history, and resume are untouched."""
+    hosts_df = spark.createDataFrame(
+        [(h, 1e9, 1e9) for h, _, _ in web.hosts],
+        "host string, capacity double, refill_rate double",
+    )
+    eng = CrawlEngine(
+        spark, web.corpus_df(spark), web.robots_df(spark), hosts_df,
+        str(tmp_path / "purge"), batch_size=10, max_attempts=3,
+    )
+    eng.seed(web.seeds)
+    for _ in range(2):
+        eng.round()
+    pending_before = eng.frontier().where("state = 'pending'")
+    by_host = {
+        r["host"]: r["n"]
+        for r in pending_before.groupBy("host").agg(F.count("*").alias("n")).collect()
+    }
+    victim = max(by_host, key=by_host.get)
+    n_docs_before = eng.documents().count()
+
+    n = eng.purge_host(victim)
+    assert n == by_host[victim] > 0
+    after = {
+        r["host"]: r["n"]
+        for r in eng.frontier().where("state = 'pending'")
+        .groupBy("host").agg(F.count("*").alias("n")).collect()
+    }
+    assert victim not in after
+    for h, c in by_host.items():
+        if h != victim:
+            assert after.get(h) == c
+    assert eng.documents().count() == n_docs_before  # history untouched
+    # idempotent: second purge finds nothing
+    assert eng.purge_host(victim) == 0
+
+    # resume sees the purged frontier and keeps crawling
+    resumed = CrawlEngine.resume(
+        spark, web.corpus_df(spark), web.robots_df(spark),
+        str(tmp_path / "purge"), max_attempts=3,
+    )
+    assert resumed.frontier().where(
+        (F.col("state") == "pending") & (F.col("host") == victim)
+    ).count() == 0
+    resumed.round()
+    assert resumed.round_id == 3
