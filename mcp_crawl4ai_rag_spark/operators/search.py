@@ -81,12 +81,17 @@ def hybrid_merge(
     keyword_hits: DataFrame,
     k: int = 10,
     id_col: str = "id",
+    keyword_rank_col: str | None = None,
 ) -> DataFrame:
     """J4: tiered outer-join merge.
 
     tier 0 = in both (similarity*1.2 capped at 1.0, keyword order),
     tier 1 = vector-only (vector order), tier 2 = keyword-only (0.5,
     keyword order); truncate to k. Pure joins/windows — no iteration.
+
+    keyword order defaults to the reference's url DESC (parity with
+    operations.py); pass ``keyword_rank_col`` naming a precomputed rank
+    on keyword_hits (e.g. BM25 relevance order) to use that instead.
     """
     v = vector_hits.select(
         F.col(id_col).alias("id"),
@@ -97,13 +102,16 @@ def hybrid_merge(
         .over(Window.orderBy(F.desc("similarity"), F.asc(id_col)))
         .alias("v_rank"),
     )
+    kw_rank = (
+        F.col(keyword_rank_col)
+        if keyword_rank_col
+        else F.row_number().over(Window.orderBy(F.desc("url"), F.asc(id_col)))
+    )
     kw = keyword_hits.select(
         F.col(id_col).alias("id"),
         F.col("url").alias("k_url"),
         F.col("content").alias("k_content"),
-        F.row_number()
-        .over(Window.orderBy(F.desc("url"), F.asc(id_col)))
-        .alias("k_rank"),
+        kw_rank.alias("k_rank"),
     )
     merged = v.join(kw, "id", "full_outer").select(
         "id",
@@ -138,11 +146,17 @@ def rag_query(
     rerank: bool = False,
     embed_dim: int | None = None,
     id_col: str = "id",
+    keyword_ranker: str = "ilike",
 ) -> DataFrame:
     """The full RAG query pipeline (perform_rag_query,
     apple-dev-mcp.py:219-353): embed query (instruction prefix) → vector
     top-2k [∪ keyword top-2k → tiered merge] → optional rerank → top-k.
-    chunks needs (id, url, content, embedding)."""
+    chunks needs (id, url, content, embedding).
+
+    keyword_ranker: 'ilike' = the reference's containment+url-order tier
+    (exact parity); 'bm25' = relevance-ranked keyword tier (bm25_rank
+    over the query's whitespace terms) — same merge semantics, better
+    keyword ordering."""
     from mcp_crawl4ai_rag_spark.functions.embedding import embed_query_py
 
     q = query.strip()
@@ -151,8 +165,23 @@ def rag_query(
     qvec = embed_query_py(q, dim)
     v = vector_topk(chunks, qvec, k=k * 2, id_col=id_col)
     if hybrid:
-        kw = keyword_search(chunks, q, k=k * 2, id_col=id_col)
-        merged = hybrid_merge(v, kw, k=k, id_col=id_col)
+        if keyword_ranker == "bm25":
+            kw = (
+                bm25_rank(chunks, q.split(), k=k * 2, id_col=id_col)
+                .withColumn(
+                    "__kw_rank",
+                    F.row_number().over(
+                        Window.orderBy(F.desc("score"), F.asc(id_col))
+                    ),
+                )
+                .select(id_col, "url", "content", "__kw_rank")
+            )
+            merged = hybrid_merge(
+                v, kw, k=k, id_col=id_col, keyword_rank_col="__kw_rank"
+            )
+        else:
+            kw = keyword_search(chunks, q, k=k * 2, id_col=id_col)
+            merged = hybrid_merge(v, kw, k=k, id_col=id_col)
     else:
         merged = v.limit(k).select(id_col, "url", "content", "similarity")
     if rerank:

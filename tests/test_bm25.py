@@ -6,6 +6,7 @@ from __future__ import annotations
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
 from mcp_crawl4ai_rag_spark.operators.search import bm25_rank
 
@@ -76,3 +77,37 @@ def test_bm25_case_insensitive(spark):
     df = spark.createDataFrame([(1, "JOIN Join join"), (2, "scan scan")], ["id", "content"])
     got = bm25_rank(df, ["JOIN"], k=5).collect()
     assert [r["id"] for r in got] == [1]
+
+
+def test_rag_query_bm25_tier(spark):
+    """rag_query(keyword_ranker='bm25') merges with BM25 relevance order
+    in the keyword tier; ilike parity path is unchanged."""
+    from mcp_crawl4ai_rag_spark.functions.embedding import make_hash_embed_udf
+    from mcp_crawl4ai_rag_spark.operators.search import rag_query
+
+    rows = [
+        (i, f"https://d/{i}", t)
+        for i, t in [
+            (1, "spark shuffle join broadcast join join"),
+            (2, "hash join partition shuffle skew salt"),
+            (3, "filter scan parquet pushdown column prune"),
+            (4, "join tuning guide"),
+            (5, "unrelated words entirely here"),
+        ]
+    ]
+    chunks = (
+        spark.createDataFrame(rows, ["id", "url", "content"])
+        .withColumn("embedding", make_hash_embed_udf(16)(F.col("content")))
+        .cache()
+    )
+    bm = rag_query(chunks, "join broadcast", k=4, keyword_ranker="bm25")
+    il = rag_query(chunks, "join broadcast", k=4, keyword_ranker="ilike")
+    assert bm.count() > 0 and il.count() > 0
+    assert set(bm.columns) == set(il.columns)
+    # ilike's keyword tier needs the literal substring 'join broadcast'
+    # — only doc 1 has it; bm25's term-level tier also credits docs that
+    # match 'join' OR 'broadcast' individually (2, 4, 6-style docs)
+    il_kw = {r["id"] for r in il.collect() if r["tier"] in (0, 2)}
+    bm_kw = {r["id"] for r in bm.collect() if r["tier"] in (0, 2)}
+    assert il_kw == {1}
+    assert {2, 4} <= bm_kw
