@@ -637,6 +637,33 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card profile per language: doc/source counts, token
+    totals, EXACT char-length percentiles (F.percentile — verified
+    against DuckDB quantile_cont's identical linear interpolation), and
+    mean chars/token. One groupBy — partial aggregation map-side; exact
+    percentiles sort within groups only (bounded by per-lang rows; at
+    100 TB swap to percentile_approx and drop the oracle to rows-only)."""
+    from mcp_crawl4ai_rag_spark.functions.text import token_count
+
+    d = _t(spark, sf_dir, "documents").select(
+        "lang",
+        "source",
+        F.col("n_chars").cast("double").alias("n_chars"),
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.percentile("n_chars", F.lit(0.5)), 4).alias("p50_chars"),
+        F.round(F.percentile("n_chars", F.lit(0.9)), 4).alias("p90_chars"),
+        F.round(F.avg(F.col("n_chars") / F.col("n_tokens")), 6).alias(
+            "chars_per_token"
+        ),
+    )
+
+
 def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style sequence packing (concat-and-chunk): global token offset
     per document in doc_id order, sequence id and in-sequence position at
@@ -1172,6 +1199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "text_normalize": q_text_normalize,
         "seq_packing": q_seq_packing,
+        "corpus_profile": q_corpus_profile,
         "link_pagerank": q_link_pagerank,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
@@ -1421,6 +1449,21 @@ def oracle_sql() -> dict[str, str]:
                    nfc_normalize(text) AS normalized,
                    (nfc_normalize(text) <> text) AS changed
             FROM planted
+        """,
+        "corpus_profile": r"""
+            WITH t AS (
+              SELECT lang, source, CAST(n_chars AS DOUBLE) AS n_chars,
+                     CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                          AS BIGINT) AS n_tokens
+              FROM documents)
+            SELECT lang,
+                   COUNT(*) AS n_docs,
+                   COUNT(DISTINCT source) AS n_sources,
+                   CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                   ROUND(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
+                   ROUND(quantile_cont(n_chars, 0.9), 4) AS p90_chars,
+                   ROUND(AVG(n_chars / n_tokens), 6) AS chars_per_token
+            FROM t GROUP BY lang
         """,
         "seq_packing": r"""
             WITH t AS (
