@@ -729,6 +729,27 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal half of substring dedup: keep the globally first
+    occurrence of every duplicated k-shingle, cut every other occurrence
+    (operators/dedup.remove_duplicated_spans). Same planted boilerplate
+    as `dedup_substring`; DuckDB twin replays keeper selection + token
+    cut with string shingles and a window keeper rank."""
+    from mcp_crawl4ai_rag_spark.operators.dedup import remove_duplicated_spans
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit(" " + _BOILERPLATE)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return remove_duplicated_spans(planted, "text", "doc_id", k=10, min_df=2)
+
+
 def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 keyword relevance over documents (the upgrade path beyond the
     reference's ILIKE tier, operators/search.bm25_rank): tf restricted to
@@ -1195,6 +1216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "gopher_filter": q_gopher_filter,
         "dedup_substring": q_dedup_substring,
+        "dedup_substring_removal": q_dedup_substring_removal,
         "bm25_rank": q_bm25_rank,
         "pii_scrub": q_pii_scrub,
         "text_normalize": q_text_normalize,
@@ -1511,6 +1533,57 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, '\+[0-9]{7,15}\b'))
                      AS n_phones
             FROM planted
+        """,
+        "dedup_substring_removal": f"""
+            WITH planted AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0 THEN text || ' {_BOILERPLATE}'
+                          ELSE text END AS text
+              FROM documents),
+            toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM planted),
+            sh AS (
+              SELECT doc_id, CAST(i AS INTEGER) AS pos,
+                     array_to_string(t[i:i+9], ' ') AS s
+              FROM (SELECT doc_id, t,
+                           unnest(generate_series(1, len(t) - 9)) AS i
+                    FROM toks) x),
+            dup AS (SELECT s FROM sh GROUP BY s
+                    HAVING COUNT(DISTINCT doc_id) >= 2),
+            hits AS (SELECT doc_id, pos, s FROM sh JOIN dup USING (s)),
+            rm AS (
+              SELECT doc_id, pos FROM (
+                SELECT doc_id, pos,
+                       ROW_NUMBER() OVER (PARTITION BY s
+                                          ORDER BY doc_id, pos) AS rn
+                FROM hits) y
+              WHERE rn > 1 GROUP BY doc_id, pos),
+            tok_idx AS (
+              SELECT doc_id, CAST(i AS INTEGER) AS i, t[i] AS tok
+              FROM (SELECT doc_id, t,
+                           unnest(generate_series(1, len(t))) AS i
+                    FROM toks) z),
+            removed AS (
+              SELECT DISTINCT tk.doc_id, tk.i
+              FROM tok_idx tk JOIN rm
+                ON tk.doc_id = rm.doc_id
+               AND tk.i BETWEEN rm.pos AND rm.pos + 9),
+            kept AS (
+              SELECT t.doc_id, t.i, t.tok
+              FROM tok_idx t LEFT JOIN removed r
+                ON t.doc_id = r.doc_id AND t.i = r.i
+              WHERE r.i IS NULL),
+            agg AS (
+              SELECT doc_id,
+                     string_agg(tok, ' ' ORDER BY i) AS cleaned_text,
+                     COUNT(*) AS n_kept
+              FROM kept GROUP BY doc_id)
+            SELECT p.doc_id,
+                   COALESCE(a.cleaned_text, '') AS cleaned_text,
+                   CAST(len(string_split(p.text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(len(string_split(p.text, ' '))
+                        - COALESCE(a.n_kept, 0) AS BIGINT)
+                     AS n_tokens_removed
+            FROM planted p LEFT JOIN agg a USING (doc_id)
         """,
         "bm25_rank": r"""
             WITH toks AS (

@@ -813,6 +813,39 @@ def winnow_near_duplicates(
     )
 
 
+def _duplicated_hits(
+    df: DataFrame, text_col: str, id_col: str, k: int, min_df: int
+) -> DataFrame:
+    """(doc_id, pos, h) of every k-token shingle whose 64-bit hash occurs
+    in >= min_df distinct documents: the shared front half of the
+    duplicated-substring detect and remove operators. One shuffle on the
+    uniform hash key; O(total tokens) exploded rows."""
+    toks = F.split(F.col(text_col), " ")
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.when(
+                F.size(toks) >= k,
+                F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+            ).otherwise(F.expr("CAST(array() AS array<int>)"))
+        ).alias("pos"),
+        toks.alias("__toks"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.xxhash64(F.array_join(F.slice(F.col("__toks"), F.col("pos"), k), " ")).alias(
+            "h"
+        ),
+    )
+    dup = (
+        sh.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .where(F.col("df") >= min_df)
+        .select("h")
+    )
+    return sh.join(dup, "h", "left_semi")
+
+
 def duplicated_token_spans(
     df: DataFrame,
     text_col: str,
@@ -837,30 +870,7 @@ def duplicated_token_spans(
     length, so no single-task funnel). No pairwise comparison anywhere —
     cost is O(tokens + duplicated positions), not O(docs^2).
     """
-    toks = F.split(F.col(text_col), " ")
-    sh = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(
-            F.when(
-                F.size(toks) >= k,
-                F.sequence(F.lit(1), F.size(toks) - (k - 1)),
-            ).otherwise(F.expr("CAST(array() AS array<int>)"))
-        ).alias("pos"),
-        toks.alias("__toks"),
-    ).select(
-        "doc_id",
-        "pos",
-        F.xxhash64(F.array_join(F.slice(F.col("__toks"), F.col("pos"), k), " ")).alias(
-            "h"
-        ),
-    )
-    dup = (
-        sh.groupBy("h")
-        .agg(F.countDistinct("doc_id").alias("df"))
-        .where(F.col("df") >= min_df)
-        .select("h")
-    )
-    hits = sh.join(dup, "h", "left_semi").select("doc_id", "pos")
+    hits = _duplicated_hits(df, text_col, id_col, k, min_df).select("doc_id", "pos")
     w = Window.partitionBy("doc_id").orderBy("pos")
     islands = (
         hits.withColumn(
@@ -881,3 +891,63 @@ def duplicated_token_spans(
         (F.max("pos") + F.lit(k - 1)).alias("span_end"),
         F.count("*").alias("n_shingles"),
     ).drop("island")
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 10,
+    min_df: int = 2,
+) -> DataFrame:
+    """The removal half of substring dedup (Lee et al. 2021): keep ONE
+    occurrence of every duplicated k-token shingle — the globally first by
+    (doc_id, pos) — and cut the tokens covered by every other occurrence.
+
+    Returns (doc_id, cleaned_text, n_tokens, n_tokens_removed); docs
+    without duplicated content pass through unchanged.
+
+    Shape: shared _duplicated_hits front half, a per-hash window picks
+    the keeper (partitioned by the uniform hash — no skew), removable
+    positions aggregate per doc (collect_list bounded by doc length), and
+    the token cut is a pure Column filter: token i survives unless some
+    removable window [p, p+k-1] covers it (F.exists over the per-doc
+    removal array — O(tokens x removals_per_doc), both bounded by doc
+    length, never by corpus size).
+    """
+    hits = _duplicated_hits(df, text_col, id_col, k, min_df)
+    w = Window.partitionBy("h").orderBy("doc_id", "pos")
+    removable = (
+        hits.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") > 1)
+        .select("doc_id", "pos")
+        .distinct()
+    )
+    per_doc = removable.groupBy("doc_id").agg(F.collect_list("pos").alias("__rm")).select(
+        F.col("doc_id").alias("__rm_id"), "__rm"
+    )
+    toks = F.split(F.col(text_col), " ")
+    joined = df.join(
+        per_doc, df[id_col] == per_doc["__rm_id"], "left"
+    ).select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("__toks"),
+        F.coalesce(F.col("__rm"), F.expr("CAST(array() AS array<int>)")).alias("__rm"),
+    )
+    kept = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.size(F.col("__toks"))),
+            lambda i: F.struct(
+                i.alias("i"), F.element_at(F.col("__toks"), i).alias("t")
+            ),
+        ),
+        lambda x: ~F.exists(
+            F.col("__rm"), lambda p: (p <= x["i"]) & (x["i"] <= p + (k - 1))
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.array_join(F.transform(kept, lambda x: x["t"]), " ").alias("cleaned_text"),
+        F.size("__toks").cast("long").alias("n_tokens"),
+        (F.size("__toks") - F.size(kept)).cast("long").alias("n_tokens_removed"),
+    )

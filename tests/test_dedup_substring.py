@@ -87,3 +87,49 @@ def test_adjacent_islands_merge(spark):
     got = {(r["doc_id"], r["span_start"], r["span_end"])
            for r in duplicated_token_spans(df, "text", "doc_id").collect()}
     assert got == {(1, 1, 40), (2, 1, 40)}
+
+
+def _oracle_remove(rows, k=10, min_df=2):
+    from collections import defaultdict
+
+    docs = {i: t.split(" ") for i, t in rows}
+    occ = defaultdict(list)
+    for i in sorted(docs):
+        toks = docs[i]
+        for p in range(len(toks) - k + 1):
+            occ[" ".join(toks[p : p + k])].append((i, p + 1))
+    removable = defaultdict(set)
+    for s, hits in occ.items():
+        if len({d for d, _ in hits}) < min_df:
+            continue
+        for d, p in sorted(hits)[1:]:  # keep the global-first (doc, pos)
+            removable[d].add(p)
+    out = {}
+    for i, toks in docs.items():
+        rm = removable.get(i, set())
+        kept = [t for j, t in enumerate(toks, start=1)
+                if not any(p <= j <= p + k - 1 for p in rm)]
+        out[i] = (" ".join(kept), len(toks), len(toks) - len(kept))
+    return out
+
+
+def test_remove_differential_vs_bruteforce(spark):
+    from mcp_crawl4ai_rag_spark.operators.dedup import remove_duplicated_spans
+
+    bp = " ".join(f"bp{j}" for j in range(20))
+    rows = []
+    for i in range(9):
+        body = " ".join(f"u{i}x{j}" for j in range(25))
+        rows.append((i, body + " " + bp if i % 3 == 0 else body))
+    rows.append((100, "tiny"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["cleaned_text"], r["n_tokens"], r["n_tokens_removed"])
+        for r in remove_duplicated_spans(df, "text", "doc_id").collect()
+    }
+    want = _oracle_remove(rows)
+    assert got == want
+    # doc 0 keeps its boilerplate (global first occurrence); 3 and 6 lose it
+    assert got[0][2] == 0
+    assert got[3][2] == 20 and got[6][2] == 20
+    assert bp in got[0][0] and bp not in got[3][0]
