@@ -637,6 +637,36 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data pipeline composition — the stages are
+    individually oracled elsewhere; this query certifies they COMPOSE:
+    quality gate (token floor + lang allowlist) → exact dedup (fingerprint,
+    keep lowest doc_id) → deterministic stratified sampling → sequence
+    packing (distributed prefix sum, seq_len=1024). Single DuckDB twin
+    replays the whole chain."""
+    from mcp_crawl4ai_rag_spark.functions.text import fingerprint, token_count
+    from mcp_crawl4ai_rag_spark.operators.packing import pack_offsets
+    from mcp_crawl4ai_rag_spark.operators.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    filt = d.where((F.col("n_tokens") >= 20) & F.col("lang").isin("en", "de", "zh"))
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    deduped = (
+        filt.withColumn("fp", fingerprint(F.col("text")))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("doc_id", "lang", "n_tokens")
+    )
+    sampled = stratified_sample(
+        deduped, {"en": 0.5, "de": 0.4, "zh": 0.25}, "lang", "doc_id", salt="mix1"
+    )
+    return pack_offsets(
+        sampled, "n_tokens", ["doc_id"], seq_len=1024, rank_window_threshold=0
+    )
+
+
 def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset-card profile per language: doc/source counts, token
     totals, EXACT char-length percentiles (F.percentile — verified
@@ -1222,6 +1252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_normalize": q_text_normalize,
         "seq_packing": q_seq_packing,
         "corpus_profile": q_corpus_profile,
+        "training_pipeline": q_training_pipeline,
         "link_pagerank": q_link_pagerank,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
@@ -1472,6 +1503,44 @@ def oracle_sql() -> dict[str, str]:
                    (nfc_normalize(text) <> text) AS changed
             FROM planted
         """,
+        "training_pipeline": f"""
+            WITH base AS (
+              SELECT doc_id, lang, text,
+                     CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                          AS BIGINT) AS n_tokens
+              FROM documents),
+            filt AS (
+              SELECT * FROM base
+              WHERE n_tokens >= 20 AND lang IN ('en', 'de', 'zh')),
+            deduped AS (
+              SELECT doc_id, lang, n_tokens FROM (
+                SELECT doc_id, lang, n_tokens,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY md5(regexp_replace(
+                           LOWER(TRIM(text)), '\\s+', ' ', 'g'))
+                         ORDER BY doc_id) AS rn
+                FROM filt) x
+              WHERE rn = 1),
+            sampled AS (
+              SELECT doc_id, lang, n_tokens FROM deduped
+              WHERE substr(md5('mix1' || CAST(doc_id AS VARCHAR)), 1, 12)
+                    < CASE lang
+                        WHEN 'de' THEN '{{0}}'
+                        WHEN 'en' THEN '{{1}}'
+                        WHEN 'zh' THEN '{{2}}'
+                        ELSE '000000000000' END),
+            packed AS (
+              SELECT doc_id, lang, n_tokens,
+                     COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS token_offset
+              FROM sampled)
+            SELECT doc_id, lang, n_tokens, token_offset,
+                   token_offset // 1024 AS seq_id,
+                   token_offset % 1024 AS offset_in_seq
+            FROM packed
+        """.format(_rth(0.4), _rth(0.5), _rth(0.25)),
         "corpus_profile": r"""
             WITH t AS (
               SELECT lang, source, CAST(n_chars AS DOUBLE) AS n_chars,
