@@ -209,6 +209,57 @@ def main() -> None:
         )
     )
 
+    # 9. stratified sampling: a pure narrow filter — NO Exchange anywhere
+    from mcp_crawl4ai_rag_spark.operators.sampling import stratified_sample
+
+    samp = stratified_sample(
+        docs.select("doc_id", "lang"), {"en": 0.5, "de": 0.25}, "lang", "doc_id"
+    )
+    sections.append(
+        (
+            "Stratified sampling (zero-shuffle narrow filter)",
+            "The hash-threshold keep predicate compiles into the scan's "
+            "WholeStageCodegen Filter — no Exchange in the whole plan, so "
+            "the operator is partition-count-invariant at any scale.",
+            grab(samp),
+        )
+    )
+
+    # 10. duplicated-substring hits: uniform-hash shuffle + semi join,
+    # never a pairwise join
+    from mcp_crawl4ai_rag_spark.operators.dedup import duplicated_token_spans
+
+    sections.append(
+        (
+            "Duplicated-substring spans (shingle-hash shuffle + semi join)",
+            "Shingles explode O(tokens) rows; the aggregate shuffles on the "
+            "uniform 64-bit hash; hits come back via LeftSemi. The interval "
+            "merge windows per doc_id — bounded partitions, no "
+            "SinglePartition exchange.",
+            grab(duplicated_token_spans(docs, "text", "doc_id")),
+        )
+    )
+
+    # 11. sequence packing: distributed prefix sum, no global window
+    from mcp_crawl4ai_rag_spark.operators.packing import pack_offsets
+
+    packed = pack_offsets(
+        docs.select("doc_id", F.length("text").cast("long").alias("n_tokens")),
+        "n_tokens",
+        ["doc_id"],
+        seq_len=2048,
+        rank_window_threshold=0,
+    )
+    sections.append(
+        (
+            "Sequence packing (two-stage distributed prefix sum)",
+            "RangeRepartition + per-partition MapInPandas local cumsum + a "
+            "broadcast offset join — check there is NO 'Window' over "
+            "'Exchange SinglePartition' anywhere in the plan.",
+            grab(packed),
+        )
+    )
+
     out = ["# PLANS — physical-plan evidence for the hot paths\n"]
     out.append(
         "Generated by `python scripts/explain_plans.py` "
