@@ -116,3 +116,46 @@ def test_media_chunker_invariants(body, title):
     # integrity: >= 95% of characters survive (T6)
     total = sum(len(p["content"]) for p in parsed)
     assert total >= 0.9 * len(body.strip()) - 8
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+    st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+)
+def test_sampling_threshold_monotone(r1, r2):
+    from mcp_crawl4ai_rag_spark.operators.sampling import rate_threshold_hex
+
+    lo, hi = sorted([r1, r2])
+    assert rate_threshold_hex(lo) <= rate_threshold_hex(hi)
+    t = rate_threshold_hex(lo)
+    assert t == "g" or (len(t) == 12 and all(c in "0123456789abcdef" for c in t))
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.floats(min_value=0.01, max_value=0.99, allow_nan=False), st.integers(0, 3))
+def test_sampling_rate_approximates_fraction(rate, salt_i):
+    """The hashlib predicate (the exact Spark semantics, proven equal in
+    test_sampling) keeps ~rate of a fixed key universe."""
+    import hashlib
+
+    from mcp_crawl4ai_rag_spark.operators.sampling import rate_threshold_hex
+
+    thr, salt = rate_threshold_hex(rate), f"s{salt_i}"
+    kept = sum(
+        1
+        for key in range(3000)
+        if hashlib.md5((salt + str(key)).encode()).hexdigest()[:12] < thr
+    )
+    assert abs(kept / 3000 - rate) < 0.05  # ~5 sigma at n=3000
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(alphabet=st.sampled_from(list("aB:/# .\nSitemap")), max_size=300))
+def test_robots_sitemap_parse_total(text):
+    from mcp_crawl4ai_rag_spark.sources.robots import parse_robots_sitemaps
+
+    out = parse_robots_sitemaps(text)
+    assert isinstance(out, list)
+    for u in out:
+        assert u and not u.startswith("#") and "\n" not in u
