@@ -1531,10 +1531,12 @@ def oracle_sql() -> dict[str, str]:
                         ELSE '000000000000' END),
             packed AS (
               SELECT doc_id, lang, n_tokens,
-                     COALESCE(SUM(n_tokens) OVER (
+                     -- DuckDB window SUM(BIGINT) returns HUGEINT; cast back
+                     -- so the driver's typed hash matches Spark's BIGINT.
+                     CAST(COALESCE(SUM(n_tokens) OVER (
                        ORDER BY doc_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                       AS token_offset
+                       AS BIGINT) AS token_offset
               FROM sampled)
             SELECT doc_id, lang, n_tokens, token_offset,
                    token_offset // 1024 AS seq_id,
@@ -1563,10 +1565,12 @@ def oracle_sql() -> dict[str, str]:
               FROM documents),
             c AS (
               SELECT doc_id, n_tokens,
-                     COALESCE(SUM(n_tokens) OVER (
+                     -- DuckDB window SUM(BIGINT) returns HUGEINT; cast back
+                     -- so the driver's typed hash matches Spark's BIGINT.
+                     CAST(COALESCE(SUM(n_tokens) OVER (
                        ORDER BY doc_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                       AS token_offset
+                       AS BIGINT) AS token_offset
               FROM t)
             SELECT doc_id, n_tokens, token_offset,
                    token_offset // 2048 AS seq_id,

@@ -131,6 +131,27 @@ FRONTIER_COLS = ["url", "url_hash", "host", "depth", "priority", "seq", "state",
 # salt-spreads them (budgeted_pop).
 FRONTIER_COLS_PENDING = FRONTIER_COLS + ["bucket"]
 
+# Equality-delete key for the merge-on-read pending frontier. priority is
+# part of the key so a reprioritized row (same url/seq/attempts, new
+# priority) is not killed by its own delete; seq is never reused, so a dead
+# URL re-discovered later (attempts restart at 0) cannot collide either.
+# SHARED between the batch engine and streaming/continuous — one definition
+# so the two views cannot drift.
+PENDING_DELETE_KEY = ["url", "seq", "attempts", "priority"]
+
+
+def merge_on_read_pending(base: DataFrame, delta: DataFrame) -> DataFrame:
+    """Merge-on-read view of the pending frontier: base ∪ delta-adds, minus
+    equality deletes on PENDING_DELETE_KEY. The delete set is bounded by
+    compact_every × batch rows → broadcast anti-join, no shuffle of the
+    base. Used by CrawlEngine._read_pending and the streaming ingest's
+    _pending_view — identical semantics by construction."""
+    adds = delta.where(F.col("op") == "add").drop("op")
+    dels = delta.where(F.col("op") == "del").select(*PENDING_DELETE_KEY)
+    return base.unionByName(adds).join(
+        F.broadcast(dels), PENDING_DELETE_KEY, "left_anti"
+    )
+
 
 class CrawlEngine:
     def __init__(
@@ -246,21 +267,11 @@ class CrawlEngine:
         self.versions["frontier_pending"] = info.version
 
     def _read_pending(self) -> DataFrame:
-        """Merge-on-read view of the pending frontier: base ∪ delta-adds,
-        minus equality deletes on (url, attempts). The delete set is bounded
-        by compact_every × batch rows → broadcast anti-join, no shuffle of
-        the base."""
+        """Merge-on-read view of the pending frontier (see
+        merge_on_read_pending for the key semantics)."""
         base = self._read(self.pending_tbl, "frontier_pending")
         delta = self._read(self.pending_delta_tbl, "frontier_pending_delta")
-        adds = delta.where(F.col("op") == "add").drop("op")
-        # priority is part of the delete key so a reprioritized row (same
-        # url/seq/attempts, new priority) is not killed by its own delete
-        dels = delta.where(F.col("op") == "del").select(
-            "url", "seq", "attempts", "priority"
-        )
-        return base.unionByName(adds).join(
-            F.broadcast(dels), ["url", "seq", "attempts", "priority"], "left_anti"
-        )
+        return merge_on_read_pending(base, delta)
 
     def _compact_pending(self) -> None:
         """Fold the delta into a fresh partitioned base (Iceberg rewrite/

@@ -694,18 +694,20 @@ def simhash_near_duplicates(
 
 
 def embedding_near_duplicates(
-    df: DataFrame, vec_col: str, id_col: str, threshold: float = 0.95
+    df: DataFrame, vec_col: str, id_col: str, threshold: float = 0.95,
+    dim: int = 64,
 ) -> DataFrame:
     """Embedding-cosine near-dup over unit vectors via coarse LSH bucketing:
     sign-random-projection bucket join, then exact cosine verify (pure
-    Column fold)."""
+    Column fold).
+
+    dim MUST match the embedding dimensionality (explicit parameter — not
+    probed with .first(), so building the plan launches no Spark job)."""
     from mcp_crawl4ai_rag_spark.functions.embedding import cosine_sim
 
     planes = 8
     rng = np.random.default_rng(7)
     # random hyperplanes as literal arrays — broadcast-free, deterministic
-    first = df.select(vec_col).first()
-    dim = len(first[vec_col]) if first else 0
     hyper = rng.standard_normal((planes, dim))
 
     def bucket_expr(vec):

@@ -42,9 +42,13 @@ def rate_threshold_hex(rate: float) -> str:
     string. rate=1.0 maps to 'g' (> every hex string) so it keeps all."""
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate must be in [0, 1], got {rate}")
-    if rate >= 1.0:
+    value = int(rate * _HEX_SPACE)
+    if value >= _HEX_SPACE:
+        # rates just below 1.0 (e.g. 1 - 2^-53) round up to 16^12, whose
+        # 13-char format would compare lexicographically BELOW most 12-char
+        # hashes and keep ~6% instead of ~100% — treat as keep-all.
         return "g"  # lexicographically above any [0-9a-f]{12}
-    return format(int(rate * _HEX_SPACE), f"0{_HEX_DIGITS}x")
+    return format(value, f"0{_HEX_DIGITS}x")
 
 
 def sample_hash(key: Column, salt: str = "") -> Column:

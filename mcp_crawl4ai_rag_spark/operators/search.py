@@ -20,7 +20,7 @@ Reference semantics:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from mcp_crawl4ai_rag_spark.functions.embedding import (
@@ -144,7 +144,7 @@ def rag_query(
     k: int = 5,
     hybrid: bool = True,
     rerank: bool = False,
-    embed_dim: int | None = None,
+    embed_dim: int = 64,
     id_col: str = "id",
     keyword_ranker: str = "ilike",
 ) -> DataFrame:
@@ -156,13 +156,16 @@ def rag_query(
     keyword_ranker: 'ilike' = the reference's containment+url-order tier
     (exact parity); 'bm25' = relevance-ranked keyword tier (bm25_rank
     over the query's whitespace terms) — same merge semantics, better
-    keyword ordering."""
+    keyword ordering.
+
+    embed_dim MUST match the chunks table's embedding dimensionality (the
+    default matches the 64-dim test fixtures; production is 2560 per
+    src/embedding/config.py:24). It is an explicit parameter — not probed
+    with .first() — so constructing the query plan launches no Spark job."""
     from mcp_crawl4ai_rag_spark.functions.embedding import embed_query_py
 
     q = query.strip()
-    first = chunks.select(F.size(F.col("embedding")).alias("d")).first()
-    dim = embed_dim or (first["d"] if first else 64)
-    qvec = embed_query_py(q, dim)
+    qvec = embed_query_py(q, embed_dim)
     v = vector_topk(chunks, qvec, k=k * 2, id_col=id_col)
     if hybrid:
         if keyword_ranker == "bm25":
@@ -250,6 +253,19 @@ def stats_rollup(pages: DataFrame, chunks: DataFrame, content_col: str = "conten
     )
 
 
+def _qtf_weight(qtf: dict[str, int]) -> Column:
+    """Query-term-frequency weight for the matched term column __t: 1.0
+    when the query has no repeated terms (the common case — stays a
+    constant, folded by codegen), else a literal when-chain mapping each
+    term to its multiplicity."""
+    if all(w == 1 for w in qtf.values()):
+        return F.lit(1.0)
+    weight = F.lit(0.0)
+    for t, w in sorted(qtf.items()):
+        weight = F.when(F.col("__t") == t, F.lit(float(w))).otherwise(weight)
+    return weight
+
+
 def bm25_rank(
     docs: DataFrame,
     query_terms: list[str],
@@ -271,11 +287,21 @@ def bm25_rank(
     whole-stage-codegen sum. idf uses the standard Robertson-Sparck Jones
     form log(1 + (N - df + 0.5)/(df + 0.5)); avgdl over ALL docs.
     """
-    terms = [t.lower() for t in query_terms]
+    # Query multiset: repeated terms weight their term score by query-term
+    # frequency (BM25 over a bag-of-words query), instead of silently
+    # collapsing via isin + groupBy.
+    qtf: dict[str, int] = {}
+    for t in query_terms:
+        t = t.lower()
+        qtf[t] = qtf.get(t, 0) + 1
+    terms = sorted(qtf)
     toks = F.split(F.lower(F.col(content_col)), r"\s+")
+    # no .cache(): lens is a cheap narrow projection computed twice within
+    # one job tree; caching it leaked executor storage across queries in a
+    # long-lived session (never unpersisted).
     lens = docs.select(
         F.col(id_col).alias("__id"), F.size(toks).alias("__dl")
-    ).cache()
+    )
     stats = lens.agg(
         F.count("*").alias("n_docs"), F.avg("__dl").alias("avgdl")
     )
@@ -298,9 +324,11 @@ def bm25_rank(
                 / (F.col("df") + F.lit(0.5))
             ),
         )
+        .withColumn("__qtf", _qtf_weight(qtf))
         .withColumn(
             "term_score",
-            F.col("idf")
+            F.col("__qtf")
+            * F.col("idf")
             * (F.col("tf") * (k1 + 1))
             / (
                 F.col("tf")

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 import os
 
 from mcp_crawl4ai_rag_spark.functions.urls import canonicalize_url, is_malformed
+from mcp_crawl4ai_rag_spark.operators.crawl import merge_on_read_pending
 from mcp_crawl4ai_rag_spark.operators.dedup import BloomFilter, build_bloom, new_urls
 from mcp_crawl4ai_rag_spark.operators.politeness import robots_allowed, with_host_and_path
 from mcp_crawl4ai_rag_spark.operators.ranking import with_global_rank
@@ -40,16 +41,14 @@ LINK_STREAM_SCHEMA = "href string, parent_url string, link_pos int, depth int"
 
 
 def _pending_view(spark: SparkSession, base: SnapshotTable, delta: SnapshotTable) -> DataFrame:
-    """The engine's merge-on-read pending view (crawl.py:_read_pending),
-    reconstructed from the on-disk tables so the stream needs no live
-    CrawlEngine object."""
-    b = base.read(spark)
-    d = delta.read(spark)
-    adds = d.where(F.col("op") == "add").drop("op")
-    dels = d.where(F.col("op") == "del").select("url", "seq", "attempts")
-    return b.unionByName(adds).join(
-        F.broadcast(dels), ["url", "seq", "attempts"], "left_anti"
-    )
+    """The engine's merge-on-read pending view, reconstructed from the
+    on-disk tables so the stream needs no live CrawlEngine object. Delegates
+    to crawl.merge_on_read_pending — the SAME function the engine uses — so
+    the equality-delete key (url, seq, attempts, priority) cannot drift
+    between the two admission paths (a (url, seq, attempts)-only key would
+    let a reprioritized row's own 'del' kill its re-'add', dropping the URL
+    from the stream's seen set and double-admitting a rediscovery)."""
+    return merge_on_read_pending(base.read(spark), delta.read(spark))
 
 
 def admit_links_batch(
@@ -137,13 +136,23 @@ def start_link_ingest(
         pending = _pending_view(spark, base_tbl, delta_tbl)
         fetched = fetched_tbl.read(spark)
         seen = pending.select("url").unionByName(fetched.select("url"))
-        max_seq = (
-            pending.select("seq")
-            .unionByName(fetched.select("seq"))
-            .agg(F.max("seq"))
-            .collect()[0][0]
-        )
-        base_seq = int(max_seq) + 1 if max_seq is not None else 0
+        # seq allocation: the engine's checkpoint seq_counter is the
+        # authoritative allocator — max(seq) over pending ∪ fetched is NOT
+        # (purge_host can remove the highest-seq rows, and reusing a purged
+        # seq lets a historical 'del' at the same (url, seq, attempts,
+        # priority) silently kill the new add). Fall back to max(seq)+1
+        # only when no crawl checkpoint exists yet.
+        ckp0 = CrawlCheckpoint(workdir).load()
+        if ckp0 is not None and "seq_counter" in ckp0:
+            base_seq = int(ckp0["seq_counter"])
+        else:
+            max_seq = (
+                pending.select("seq")
+                .unionByName(fetched.select("seq"))
+                .agg(F.max("seq"))
+                .collect()[0][0]
+            )
+            base_seq = int(max_seq) + 1 if max_seq is not None else 0
         rows, pinned = admit_links_batch(
             batch, seen, robots, base_seq, host_buckets=host_buckets
         )

@@ -100,8 +100,8 @@ def test_rag_query_bm25_tier(spark):
         .withColumn("embedding", make_hash_embed_udf(16)(F.col("content")))
         .cache()
     )
-    bm = rag_query(chunks, "join broadcast", k=4, keyword_ranker="bm25")
-    il = rag_query(chunks, "join broadcast", k=4, keyword_ranker="ilike")
+    bm = rag_query(chunks, "join broadcast", k=4, keyword_ranker="bm25", embed_dim=16)
+    il = rag_query(chunks, "join broadcast", k=4, keyword_ranker="ilike", embed_dim=16)
     assert bm.count() > 0 and il.count() > 0
     assert set(bm.columns) == set(il.columns)
     # ilike's keyword tier needs the literal substring 'join broadcast'

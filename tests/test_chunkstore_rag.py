@@ -52,13 +52,55 @@ def test_rag_query_pipeline(spark, tmp_path):
     chunks = store.read().withColumn(
         "id", F.xxhash64(F.col("url"), F.col("chunk_index"))
     )
-    res = rag_query(chunks, "metal shader", k=3, hybrid=True).collect()
+    res = rag_query(chunks, "metal shader", k=3, hybrid=True, embed_dim=16).collect()
     assert 0 < len(res) <= 3
     # keyword hits on 'metal' should surface tier-0/2 rows from url a/1
     assert any("metal" in r["content"] for r in res)
     # vector-only mode
-    res_v = rag_query(chunks, "metal shader", k=3, hybrid=False).collect()
+    res_v = rag_query(chunks, "metal shader", k=3, hybrid=False, embed_dim=16).collect()
     assert len(res_v) == 3
     # rerank adds a deterministic score column
-    res_r = rag_query(chunks, "metal shader", k=3, rerank=True).collect()
+    res_r = rag_query(chunks, "metal shader", k=3, rerank=True, embed_dim=16).collect()
     assert all(r["rerank_score"] is not None for r in res_r)
+
+
+def test_rag_query_2560_dim_blas_path(spark, tmp_path):
+    """e2e hybrid RAG at the reference's production dimensionality (2560,
+    src/embedding/config.py:24): the similarity kernel dispatches to the
+    Arrow/BLAS matvec (dim >= BLAS_DIM_THRESHOLD) inside the FULL pipeline
+    — vector top-2k + keyword tier + tiered merge — not just vector_topk
+    in isolation. Cross-checks the BLAS scores against the exact Column
+    fold on the same data."""
+    from mcp_crawl4ai_rag_spark.functions.embedding import (
+        cosine_sim,
+        embed_query_py,
+    )
+    from mcp_crawl4ai_rag_spark.operators.search import BLAS_DIM_THRESHOLD
+
+    store = ChunkStore(spark, str(tmp_path))
+    store.process_round(docs(spark), embed_dim=2560)
+    chunks = store.read().withColumn(
+        "id", F.xxhash64(F.col("url"), F.col("chunk_index"))
+    )
+    assert 2560 >= BLAS_DIM_THRESHOLD
+    res = rag_query(chunks, "metal shader", k=3, hybrid=True, embed_dim=2560)
+    rows = res.collect()
+    assert 0 < len(rows) <= 3
+    assert any("metal" in r["content"] for r in rows)
+    # BLAS matvec similarity == exact JVM fold similarity (rounded: the
+    # fold sums sequentially, BLAS pairwise — equal to float tolerance)
+    qvec = embed_query_py("metal shader", 2560)
+    exact = {
+        r["id"]: r["s"]
+        for r in chunks.select(
+            "id", cosine_sim(F.col("embedding"), qvec).alias("s")
+        ).collect()
+    }
+    for r in rows:
+        if r["tier"] in (0, 1):  # tiers with a real vector similarity
+            sim = r["similarity"] / 1.2 if r["tier"] == 0 else r["similarity"]
+            sim = min(sim, 1.0 / 1.2) if r["tier"] == 0 else sim
+            # tier-0 caps at 1.0 pre-boost reconstruction is lossy when the
+            # cap bites; only assert when it did not
+            if r["tier"] == 1:
+                assert abs(sim - exact[r["id"]]) < 1e-6

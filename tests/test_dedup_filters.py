@@ -207,7 +207,7 @@ def test_embedding_near_duplicates(spark):
     v2 = [x + 0.001 for x in v1]
     v3 = hash_embed_py("totally other", 32)
     df = spark.createDataFrame([(1, v1), (2, v2), (3, v3)], "id int, vec array<float>")
-    pairs = D.embedding_near_duplicates(df, "vec", "id", threshold=0.99).collect()
+    pairs = D.embedding_near_duplicates(df, "vec", "id", threshold=0.99, dim=32).collect()
     assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
 
 

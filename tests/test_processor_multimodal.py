@@ -179,3 +179,84 @@ def test_streaming_link_ingest(spark, tmp_path):
     fetched = {r["url"] for r in resumed.crawl_order().collect()}
     for u in streamed_new:
         assert u in fetched
+
+
+def test_streaming_ingest_after_reprioritize(spark, tmp_path):
+    """Regression for the delete-key divergence: reprioritize() emits an
+    equality 'del' at the old priority plus an 'add' at the new one with
+    identical (url, seq, attempts). A streaming pending view keyed on only
+    (url, seq, attempts) would drop the re-added row too, so a streamed
+    rediscovery of that URL would be admitted AGAIN — duplicate pending
+    rows. The stream must share the engine's (url, seq, attempts,
+    priority) key (now literally the same merge_on_read_pending helper)."""
+    from mcp_crawl4ai_rag_spark.operators.crawl import CrawlEngine
+    from mcp_crawl4ai_rag_spark.plans.snapshots import SnapshotTable
+    from mcp_crawl4ai_rag_spark.sources.synthetic_web import generate_web
+    from mcp_crawl4ai_rag_spark.streaming.continuous import (
+        _pending_view,
+        start_link_ingest,
+    )
+
+    web = generate_web(seed=22, n_hosts=3, n_pages=40, n_seeds=2)
+    workdir = str(tmp_path / "wd")
+    hosts_df = spark.createDataFrame(
+        [(h, 1e9, 1e9) for h, _, _ in web.hosts],
+        "host string, capacity double, refill_rate double",
+    )
+    robots_df = web.robots_df(spark)
+    eng = CrawlEngine(
+        spark, web.corpus_df(spark), robots_df, hosts_df, workdir,
+        batch_size=5, max_attempts=3,
+    )
+    eng.seed(web.seeds)
+    eng.round()
+
+    pending_rows = eng._read_pending().collect()
+    assert pending_rows, "need a pending row to reprioritize"
+    target = sorted(r["url"] for r in pending_rows)[0]
+    n = eng.reprioritize(
+        spark.createDataFrame([(target, 500)], "url string, priority int")
+    )
+    assert n == 1
+
+    # stream a rediscovery of the reprioritized URL + one truly new URL
+    pre_urls = {r["url"] for r in eng.frontier().collect()}
+    new_url = sorted(
+        u for u, p in web.corpus.items()
+        if p["status_code"] == 200 and p["spans"] and u not in pre_urls
+    )[0]
+    links_dir = tmp_path / "links"
+    links_dir.mkdir()
+    with open(links_dir / "b1.json", "w") as f:
+        for i, href in enumerate([target, new_url]):
+            f.write(json.dumps({
+                "href": href, "parent_url": "stream", "link_pos": i, "depth": 0,
+            }) + "\n")
+    q = start_link_ingest(
+        spark, str(links_dir), workdir, robots_df, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(60)
+    for _ in range(20):
+        if not q.isActive:
+            break
+        time.sleep(1)
+
+    resumed = CrawlEngine.resume(spark, web.corpus_df(spark), robots_df, workdir)
+    post = resumed._read_pending().collect()
+    target_rows = [r for r in post if r["url"] == target]
+    # exactly one surviving version, at the NEW priority — no duplicate
+    # admission, no self-killed add
+    assert len(target_rows) == 1
+    assert target_rows[0]["priority"] == 500
+    assert len({r["url"] for r in post}) == len(post)
+    assert new_url in {r["url"] for r in post}
+
+    # stream view == engine view, row for row
+    sv = _pending_view(
+        spark,
+        SnapshotTable(workdir, "frontier_pending"),
+        SnapshotTable(workdir, "frontier_pending_delta"),
+    )
+    eng_rows = sorted(map(tuple, post))
+    stream_rows = sorted(map(tuple, sv.collect()))
+    assert eng_rows == stream_rows
