@@ -930,11 +930,11 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: PageRank over a deterministic synthetic link graph on
-    doc ids (each doc links to (id*13+7) % 100 — ids 0-99 become hubs);
-    iterative float updates are not SQL-expressible, so correctness is
-    pinned by the numpy power-iteration differential in tests/test_graph.py.
-    Returns the top-20 hub ranks."""
+    """PageRank over a deterministic synthetic link graph on doc ids
+    (each doc links to (id*13+7) % 100 — ids 0-99 become hubs); top-20
+    hub ranks, rounded 6dp. Oracled by an unrolled fixed-iteration power
+    iteration in DuckDB (_pagerank_oracle_sql); the numpy differential in
+    tests/test_graph.py pins the engine independently."""
     from mcp_crawl4ai_rag_spark.operators.graph import pagerank
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
@@ -980,8 +980,10 @@ def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: embedding-cosine near-dup via sign-random-projection
-    buckets + exact verify, over embeddings ∪ slightly-perturbed copies."""
+    """Embedding-cosine near-dup via sign-random-projection buckets +
+    exact verify, over embeddings ∪ slightly-perturbed copies. The DuckDB
+    twin computes exact ALL-pairs cosine ≥ threshold — equality certifies
+    the bucketed join's 100% recall on this data as well as the cosine."""
     from mcp_crawl4ai_rag_spark.operators.dedup import embedding_near_duplicates
 
     emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") % 9 == 0)
@@ -1109,33 +1111,26 @@ def q_seed_sitemap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_vector_topk_2560(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: exact cosine top-k at the reference's production
-    dimensionality (2560, src/embedding/config.py:24) — exercises the BLAS
-    Arrow-batch kernel vector_topk dispatches to above BLAS_DIM_THRESHOLD.
+    """Exact cosine top-k at the reference's production dimensionality
+    (2560, src/embedding/config.py:24) — exercises the BLAS Arrow-batch
+    kernel vector_topk dispatches to above BLAS_DIM_THRESHOLD. 2560-dim
+    vectors are the 64-dim fixtures tiled 40x (SQL-expressible, so the
+    DuckDB twin computes the same 2560-dim cosine — the oracle upgrade
+    from the r2 rows-only entry); query = vec_id 7 tiled likewise.
     Parity with the Column-fold kernel is asserted in
     tests/test_search.py::test_vector_topk_blas_dispatch_2560_dim."""
-    from mcp_crawl4ai_rag_spark.functions.embedding import (
-        embed_query_py,
-        make_hash_embed_udf,
-    )
     from mcp_crawl4ai_rag_spark.operators.search import vector_topk
 
-    d = (
-        _t(spark, sf_dir, "documents")
-        # 1-in-5 subset: the hash-embedding stand-in (per-row RNG) dominates
-        # otherwise; the BLAS cosine + top-k under test are unaffected
-        .where(F.col("doc_id") % 5 == 0)
-        .select(
-            F.col("doc_id").alias("id"),
-            _doc_url(F.col("source"), F.col("doc_id")).alias("url"),
-            F.col("text").alias("content"),
-        )
+    emb = _t(spark, sf_dir, "embeddings")
+    tiled = emb.select(
+        "vec_id",
+        F.flatten(F.array_repeat(F.col("embedding"), 40)).alias("embedding"),
     )
-    emb = make_hash_embed_udf(2560)
-    chunks = d.withColumn("embedding", emb(F.col("content")))
-    qvec = embed_query_py("vector tensor graph", 2560)
-    return vector_topk(chunks, qvec, k=20, id_col="id").select(
-        "id", "url", F.round(F.col("similarity"), 6).alias("similarity")
+    q64 = emb.where(F.col("vec_id") == 7).select("embedding").first()["embedding"]
+    qvec = [float(x) for x in q64] * 40
+    assert len(qvec) == 2560
+    return vector_topk(tiled, qvec, k=20, id_col="vec_id").select(
+        "vec_id", F.round(F.col("similarity"), 6).alias("similarity")
     )
 
 
@@ -1268,6 +1263,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 _STOP = r"\b(the|and|of|to|in|is|that|for|with|was|are)\b"
+
+
+def _pagerank_oracle_sql(n_iter: int = 8, damping: float = 0.85) -> str:
+    """DuckDB twin of operators/graph.pagerank on the q_link_pagerank
+    synthetic graph: a fixed-iteration power iteration UNROLLED into a CTE
+    chain (r0 → r{n}), one stage per engine iteration — aggregates inside
+    a recursive CTE are restricted, unrolling is exact and plain SQL.
+    Constants are Python-float reprs cast to DOUBLE so e.g. 1.0-0.85 =
+    0.15000000000000002 matches Spark's literal bit-for-bit; both sides
+    round ranks to 6dp before the top-20 (the bm25 ln-parity precedent)."""
+    one_minus_d = repr(1.0 - damping)
+    d = repr(damping)
+    parts = [
+        """
+        WITH e AS (
+          SELECT doc_id AS src, (doc_id * 13 + 7) % 100 AS dst
+          FROM documents WHERE doc_id <> (doc_id * 13 + 7) % 100),
+        nodes AS (
+          SELECT DISTINCT id FROM (
+            SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)),
+        nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_nodes FROM nodes),
+        out_deg AS (
+          SELECT src AS id, CAST(COUNT(*) AS DOUBLE) AS out_deg
+          FROM e GROUP BY src),
+        r0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS rank FROM nodes)"""
+    ]
+    for k in range(n_iter):
+        parts.append(f"""
+        lm{k} AS (
+          SELECT COALESCE(SUM(r.rank), 0.0) AS linking_mass
+          FROM r{k} r JOIN out_deg d USING (id)),
+        c{k} AS (
+          SELECT e.dst AS id, SUM(r.rank / d.out_deg) AS in_mass
+          FROM e JOIN r{k} r ON e.src = r.id JOIN out_deg d ON e.src = d.id
+          GROUP BY e.dst),
+        r{k + 1} AS (
+          SELECT nodes.id,
+                 CAST({one_minus_d} AS DOUBLE) + CAST({d} AS DOUBLE) * (
+                   COALESCE(c{k}.in_mass, 0.0)
+                   + (nn.n_nodes - lm{k}.linking_mass) / nn.n_nodes
+                 ) AS rank
+          FROM nodes CROSS JOIN nn CROSS JOIN lm{k}
+          LEFT JOIN c{k} ON nodes.id = c{k}.id)""")
+    parts.append(f"""
+        SELECT id, ROUND(rank, 6) AS rank FROM r{n_iter}
+        ORDER BY ROUND(rank, 6) DESC, id LIMIT 20""")
+    return ",".join(parts[:1] + parts[1:-1]) + parts[-1]
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1984,4 +2026,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST((doc_id % 11) * 100 AS INT) AS priority
             FROM documents
         """,
+        "vector_topk_2560": f"""
+            -- 2560-dim = the 64-dim fixture tiled 40x, materialized in SQL
+            -- so DuckDB does the same 2560-element cosine the BLAS kernel
+            -- does (tiling leaves cosine invariant; both sides round 6dp)
+            WITH t AS (
+              SELECT vec_id,
+                     flatten([{", ".join(["CAST(embedding AS DOUBLE[])"] * 40)}])
+                       AS v
+              FROM embeddings),
+            q AS (SELECT v AS qv FROM t WHERE vec_id = 7)
+            SELECT vec_id, ROUND(sim, 6) AS similarity FROM (
+              SELECT vec_id,
+                     list_cosine_similarity(v, (SELECT qv FROM q)) AS sim
+              FROM t) s
+            ORDER BY sim DESC, vec_id LIMIT 20
+        """,
+        "dedup_embedding": """
+            -- exact all-pairs verify of the engine's LSH-bucketed near-dup:
+            -- every pair with cosine >= threshold, same float32 perturbation
+            -- as the Spark query (the bucket join must have 100% recall on
+            -- this data for the row sets to match — that recall is exactly
+            -- what the gate certifies)
+            WITH emb AS (
+              SELECT vec_id, embedding FROM embeddings WHERE vec_id % 9 = 0),
+            near AS (
+              SELECT vec_id + 1000000 AS vec_id,
+                     list_transform(embedding,
+                       x -> CAST(CAST(x AS DOUBLE) * 0.999 + 0.0001 AS FLOAT))
+                       AS embedding
+              FROM emb),
+            allv AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM emb
+              UNION ALL
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM near)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos
+            FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.98
+        """,
+        "link_pagerank": _pagerank_oracle_sql(n_iter=8, damping=0.85),
     }

@@ -74,22 +74,42 @@ from mcp_crawl4ai_rag_spark.plans.snapshots import CrawlCheckpoint, SnapshotTabl
 FETCH_RESULT_FIELDS = (
     "status_code int, "
     "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, "
-    "out_links array<string>, fetch_session string"
+    "out_links array<string>, fetch_session string, fetch_error string"
 )
 
 
-def fetch_with_partition_sessions(batch: DataFrame, fetcher_factory) -> DataFrame:
+def fetch_with_partition_sessions(
+    batch: DataFrame, fetcher_factory, max_retries: int = 2
+) -> DataFrame:
     """S10 production fetch operator: a ``mapInPandas`` partition fetcher
     with per-partition session reuse — the Spark shape of the reference's
     ``crawl_pages_batch`` worker pool with one browser context per worker
     (apple_stealth_crawler.py:16-21, 266-320).
 
     ``fetcher_factory()`` is invoked lazily ONCE per non-empty partition and
-    must return a session with ``fetch_batch(urls) -> list[(status_code,
-    spans, out_links)]`` (spans = list of {kind, text, media_ref, offset}
-    dicts) and ``close()``. The session's ``id`` tags every output row
-    (``fetch_session``) so tests can assert per-partition reuse; the engine
-    drops the column after the fetch stage.
+    must return a session with ``fetch_batch(urls) -> list[tuple]`` and
+    ``close()``. Each result tuple is ``(status_code, spans, out_links)``
+    or ``(status_code, spans, out_links, error_class)`` with spans = list
+    of {kind, text, media_ref, offset} dicts. ``error_class`` mirrors the
+    reference's in-worker retry taxonomy (apple_stealth_crawler.py:286-311):
+
+    - ``None``/``''`` — success; emitted as-is.
+    - ``'transient'`` — a per-page failure (timeout, temporary error): the
+      SAME session retries the url, up to ``max_retries`` in-partition
+      attempts (the reference's "临时错误: 归还实例, 直接重试" branch).
+    - ``'session'`` — the session itself is broken ('connection closed',
+      'pipe closed', 'browsercontext.new_page'): the session is closed and
+      a FRESH ``fetcher_factory()`` instance retries (the reference's
+      recreate-instance branch). Subsequent rows use the new session.
+
+    Rows still failing after ``max_retries`` are emitted with their final
+    (status_code, error_class) and whatever spans/links came back — the
+    engine's P4/attempt routing then treats them like any failed fetch
+    (empty content → re-queued with attempts+1 until ``max_attempts``).
+
+    The session's ``id`` tags every output row (``fetch_session``) so tests
+    can assert per-partition reuse AND recreation-on-session-error; the
+    engine drops fetch_session/fetch_error after the fetch stage.
 
     The input should already be repartitioned by (host, salt) — politeness
     stays at host granularity while hot hosts spread across tasks.
@@ -103,18 +123,51 @@ def fetch_with_partition_sessions(batch: DataFrame, fetcher_factory) -> DataFram
         import pandas as pd  # noqa: F401  (worker-side)
 
         session = None
+
+        def fetch_with_retries(urls):
+            """Returns (results, session) — one normalized 4-tuple per url,
+            retrying transient rows on the live session and session-class
+            rows on a recreated one."""
+            nonlocal session
+            if session is None:
+                session = fetcher_factory()
+            results = [None] * len(urls)
+            todo = list(range(len(urls)))
+            for attempt in range(max_retries + 1):
+                res = session.fetch_batch([urls[i] for i in todo])
+                failed = []
+                session_broken = False
+                sid = getattr(session, "id", "")
+                for i, r in zip(todo, res):
+                    err = r[3] if len(r) > 3 else None
+                    results[i] = (r[0], r[1], r[2], err or "", sid)
+                    if err and attempt < max_retries:
+                        failed.append(i)
+                        session_broken = session_broken or err == "session"
+                if session_broken:
+                    # reference: permanent (session) error → destroy the
+                    # instance, recreate, retry on the fresh one
+                    if hasattr(session, "close"):
+                        session.close()
+                    session = fetcher_factory()
+                if not failed:
+                    break
+                todo = failed
+            return results
+
         try:
             for b in batches:
                 if len(b) == 0:
                     continue
-                if session is None:
-                    session = fetcher_factory()
-                res = session.fetch_batch(list(b["url"]))
+                res = fetch_with_retries(list(b["url"]))
                 b = b.copy()
                 b["status_code"] = [r[0] for r in res]
                 b["spans"] = [r[1] for r in res]
                 b["out_links"] = [r[2] for r in res]
-                b["fetch_session"] = getattr(session, "id", "")
+                # per-row: a mid-batch session recreation tags each row with
+                # the session that actually served it
+                b["fetch_session"] = [r[4] for r in res]
+                b["fetch_error"] = [r[3] for r in res]
                 yield b
         finally:
             if session is not None and hasattr(session, "close"):
@@ -637,7 +690,7 @@ class CrawlEngine:
         )
         if self.fetcher is not None:
             joined = fetch_with_partition_sessions(fetch_input, self.fetcher).drop(
-                "fetch_session"
+                "fetch_session", "fetch_error"
             )
         else:
             pages = self.corpus.join(

@@ -278,3 +278,57 @@ class CorpusSessionFetcher:
 
     def __call__(self):
         return _CorpusSession(self.pages)
+
+
+class _FlakySession(_CorpusSession):
+    """A corpus session that fails deterministically: each url in
+    ``fail_plan`` errors with its error_class until its per-url counter
+    (shared across sessions via the factory) is exhausted. A 'session'
+    error also marks this session broken — every later fetch on it fails
+    the same way, mimicking a dead browser context."""
+
+    def __init__(self, pages: dict, fail_plan: dict, counters: dict):
+        super().__init__(pages)
+        self.fail_plan = fail_plan
+        self.counters = counters
+        self.broken = False
+
+    def fetch_batch(self, urls):
+        out = []
+        for u in urls:
+            if self.broken:
+                out.append((0, [], [], "session"))
+                continue
+            remaining = self.counters.get(u, 0)
+            if remaining > 0:
+                self.counters[u] = remaining - 1
+                err = self.fail_plan[u]
+                if err == "session":
+                    self.broken = True
+                out.append((0, [], [], err))
+            else:
+                status, spans, links = self.pages.get(u, (404, [], []))
+                out.append((status, spans, links, None))
+        return out
+
+
+class FlakyCorpusSessionFetcher(CorpusSessionFetcher):
+    """Failure-injecting S10 fake: ``fail_plan`` maps url ->
+    (error_class, n_failures) — the url's first n_failures fetch attempts
+    return (status 0, no content, error_class); later attempts succeed
+    from the corpus. error_class 'session' additionally breaks the session
+    it occurred on (reference analogue: apple_stealth_crawler.py:286-311
+    recreates the browser instance on connection-closed errors).
+
+    Counters live on the FACTORY (driver-pickled into the closure, shared
+    by every session the partition creates), so a recreated session sees
+    the remaining failure budget — deterministic regardless of session
+    recreation."""
+
+    def __init__(self, corpus: dict, fail_plan: dict):
+        super().__init__(corpus)
+        self.fail_plan = {u: e for u, (e, _n) in fail_plan.items()}
+        self.counters = {u: n for u, (_e, n) in fail_plan.items()}
+
+    def __call__(self):
+        return _FlakySession(self.pages, self.fail_plan, self.counters)
