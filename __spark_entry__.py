@@ -2066,4 +2066,32 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(a.v, b.v) >= 0.98
         """,
         "link_pagerank": _pagerank_oracle_sql(n_iter=8, damping=0.85),
+        "dedup_minhash": r"""
+            -- exact all-pairs 3-shingle Jaccard >= threshold: the engine's
+            -- result is banding candidates ∩ exact-verified, so equality
+            -- additionally certifies the LSH banding's recall on this
+            -- corpus (every qualifying pair here has J >= 0.9, where the
+            -- deterministic 32-perm/8-band signature recall is ~1)
+            WITH sh AS (
+              SELECT doc_id,
+                list_distinct(CASE
+                  WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+                  WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                  ELSE [array_to_string(toks[i + 1 : i + 3], ' ')
+                        for i in range(len(toks) - 2)]
+                END) AS s
+              FROM (SELECT doc_id,
+                      list_filter(string_split_regex(LOWER(text), '\s+'),
+                                  x -> x <> '') AS toks
+                    FROM documents)
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                    / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE),
+                    6) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                  / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE)
+                  >= 0.5
+        """,
     }

@@ -163,28 +163,49 @@ def budgeted_pop(
     LIMIT n FOR UPDATE SKIP LOCKED`` (operations.py:61-83); the window-ranked
     snapshot IS the priority heap. Emits pop_rank (1-based pop order).
 
-    Skew handling (the hot-host problem): a naive per-host window puts a
-    host holding 50% of the frontier into ONE task. Instead, a salted
-    pre-prune ranks within (host, xxhash64(url)%salt_buckets) and keeps
-    only each bucket's top min(budget, batch_size) rows — provably a
-    superset of every row the exact pop can emit (any popped row has true
-    host-rank <= min(budget, batch_size), and a row's bucket-rank is <= its
-    host-rank) — then the exact per-host window runs on <= salt_buckets *
-    min(budget, batch_size) rows per host. Result is identical to the
-    unpruned pop (verified against the sequential oracle in
-    tests/test_crawl_e2e.py and directly in tests/test_politeness_pop.py).
+    Plan shape (two branches, union into one shuffle-free global top-k):
+
+    - **Under-budget bypass.** For a host with no budget row, or whose
+      pending row count <= its budget, the per-host rank filter is an
+      identity — every row is eligible. Those rows skip BOTH window
+      shuffles and flow straight into the final ``orderBy().limit()``,
+      which compiles to TakeOrderedAndProject (per-partition heaps over
+      the scan, no exchange). The per-host counts come from one cheap
+      map-side-combined aggregate.
+    - **Over-budget hosts** (count > budget — the genuinely rate-limited
+      ones) go through the salted pre-prune + exact window: a naive
+      per-host window puts a host holding 50% of the frontier into ONE
+      task, so rank first within (host, xxhash64(url)%salt_buckets) and
+      keep each bucket's top min(budget, batch_size) rows — provably a
+      superset of every row the exact pop can emit (any popped row has
+      true host-rank <= min(budget, batch_size), and a row's bucket-rank
+      is <= its host-rank) — then the exact per-host window runs on <=
+      salt_buckets * min(budget, batch_size) rows per host.
+
+    Result is identical to the unpruned single-window pop (verified
+    against the sequential oracle in tests/test_crawl_e2e.py and directly
+    in tests/test_politeness_pop.py). The bypass is the scaling win: in
+    the common case (most hosts comfortably inside budget) the pop is one
+    light aggregate + a narrow heap scan; only rate-limited hosts' rows
+    shuffle at all.
     """
     budgets = hosts.select(
         "host", F.floor(F.col("tokens")).cast("long").alias("__budget")
     )
-    keep_k = F.least(
-        F.coalesce(F.col("__budget"), F.lit(1 << 62)), F.lit(batch_size)
+    counts = pending.groupBy("host").agg(F.count("*").alias("__cnt"))
+    tagged = pending.join(F.broadcast(budgets), "host", "left").join(
+        F.broadcast(counts), "host"
     )
+    under = F.col("__budget").isNull() | (F.col("__cnt") <= F.col("__budget"))
+    bypass = tagged.where(under).drop("__budget", "__cnt")
+
+    keep_k = F.least(F.col("__budget"), F.lit(batch_size))
     w_salt = Window.partitionBy("host", "__salt").orderBy(
         F.desc("priority"), F.asc("seq")
     )
     pruned = (
-        pending.join(F.broadcast(budgets), "host", "left")
+        tagged.where(~under)
+        .drop("__cnt")
         .withColumn("__salt", F.pmod(F.xxhash64("url"), F.lit(salt_buckets)))
         .withColumn("__srank", F.row_number().over(w_salt))
         .where(F.col("__srank") <= keep_k)
@@ -193,12 +214,13 @@ def budgeted_pop(
     w_host = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("seq"))
     eligible = (
         pruned.withColumn("__hrank", F.row_number().over(w_host))
-        .where(F.col("__hrank") <= F.coalesce(F.col("__budget"), F.lit(1 << 62)))
+        .where(F.col("__hrank") <= F.col("__budget"))
         .drop("__budget", "__hrank")
     )
     w_global = Window.orderBy(F.desc("priority"), F.asc("seq"))
     return (
-        eligible.orderBy(F.desc("priority"), F.asc("seq"))
+        bypass.unionByName(eligible)
+        .orderBy(F.desc("priority"), F.asc("seq"))
         .limit(batch_size)
         .withColumn("pop_rank", F.row_number().over(w_global))
     )

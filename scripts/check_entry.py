@@ -73,29 +73,32 @@ def norm(v):
     return v
 
 
-def main():
-    spark = get_spark(app_name="check_entry", master="local[8]", shuffle_partitions=8)
+def check_queries(spark, sf_dir: str, only=None, log=print) -> list:
+    """Run every __spark_entry__ query vs its DuckDB oracle at sf_dir and
+    return [(name, reason)] failures. Importable — tests/test_entry_gate.py
+    runs this (typed comparison included) on every oracled query so type
+    drift is caught by pytest before the driver's hash gate sees it."""
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
     for name, fn in qs.items():
-        if ONLY and name not in ONLY:
+        if only and name not in only:
             continue
         try:
-            sdf = fn(spark, SF_DIR)
+            sdf = fn(spark, sf_dir)
             stbl = sdf.toArrow()
             srows = [tuple(r.values()) for r in stbl.to_pylist()]
             scols = sdf.columns
         except Exception as e:
             failures.append((name, f"spark error: {e}"))
-            print(f"FAIL {name}: spark error {e}")
+            log(f"FAIL {name}: spark error {e}")
             continue
         if name not in oracles:
-            print(f"ok   {name}: rows-only ({len(srows)} rows)")
+            log(f"ok   {name}: rows-only ({len(srows)} rows)")
             continue
         try:
             dtbl = con.execute(oracles[name]).arrow()
@@ -103,30 +106,36 @@ def main():
             drows = [tuple(r.values()) for r in dtbl.to_pylist()]
         except Exception as e:
             failures.append((name, f"duckdb error: {e}"))
-            print(f"FAIL {name}: duckdb error {e}")
+            log(f"FAIL {name}: duckdb error {e}")
             continue
         if scols != dcols:
             failures.append((name, f"cols {scols} vs {dcols}"))
-            print(f"FAIL {name}: cols {scols} vs {dcols}")
+            log(f"FAIL {name}: cols {scols} vs {dcols}")
             continue
         if len(srows) != len(drows):
             failures.append((name, f"rowcount {len(srows)} vs {len(drows)}"))
-            print(f"FAIL {name}: rowcount {len(srows)} vs {len(drows)}")
+            log(f"FAIL {name}: rowcount {len(srows)} vs {len(drows)}")
             continue
         tmis = type_mismatches(stbl.schema, dtbl.schema)
         if tmis:
             failures.append((name, f"arrow types differ: {tmis}"))
-            print(f"FAIL {name}: arrow types differ: {tmis}")
+            log(f"FAIL {name}: arrow types differ: {tmis}")
             continue
         a = sorted(tuple(norm(v) for v in r) for r in ([*r] for r in srows))
         b = sorted(tuple(norm(v) for v in r) for r in drows)
         if a != b:
             diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
             failures.append((name, f"values differ, e.g. {diff}"))
-            print(f"FAIL {name}: values differ e.g. {diff}")
+            log(f"FAIL {name}: values differ e.g. {diff}")
         else:
-            print(f"ok   {name}: {len(srows)} rows match")
-    print(f"\n{len(failures)} failures / {len(qs)} queries")
+            log(f"ok   {name}: {len(srows)} rows match")
+    return failures
+
+
+def main():
+    spark = get_spark(app_name="check_entry", master="local[8]", shuffle_partitions=8)
+    failures = check_queries(spark, SF_DIR, only=ONLY)
+    print(f"\n{len(failures)} failures / {len(entrymod.queries())} queries")
     if failures:
         sys.exit(1)
 

@@ -37,6 +37,11 @@ def run_level(cpus: int, n_urls: int, repeats: int = 1, pin: bool = True) -> dic
         # this script interleaves its own repeats across levels — one
         # pipeline run per bench.py invocation keeps samples independent
         SPARK_GRAFT_BENCH_RUNS="1",
+        # identical job at both levels: same plan, same shuffle partition
+        # count — only the executor resources differ (the cluster shape)
+        SPARK_GRAFT_SHUFFLE_PARTITIONS=os.environ.get(
+            "SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"
+        ),
     )
     cmd = [sys.executable, os.path.join(REPO, "bench.py"), "--pipeline-only"]
     if pin:
