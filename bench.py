@@ -234,6 +234,11 @@ def time_queries(spark: SparkSession, sf_dir: str) -> dict:
             dt = time.time() - t
             best = dt if best is None else min(best, dt)
         out[name] = round(best, 3)
+        # operators that cache internally (minhash candidates, rank
+        # intermediates) would pin a fresh copy per run — 58 queries x
+        # n_runs of leaked executor storage OOMs a single local JVM.
+        # A long-lived cluster unpersists per query; emulate that here.
+        spark.catalog.clearCache()
     return out
 
 
@@ -291,6 +296,9 @@ def main() -> None:
     shuffle_partitions = int(
         os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus * 2)
     )
+    # single local JVM hosts driver + all executors: give it headroom for
+    # the pipeline caches + 58-query suite (the box has 128 GiB)
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
     spark = get_spark(
         app_name="bench",
         master=f"local[{cpus}]",

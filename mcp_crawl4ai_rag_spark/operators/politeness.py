@@ -165,47 +165,44 @@ def budgeted_pop(
 
     Plan shape (two branches, union into one shuffle-free global top-k):
 
-    - **Under-budget bypass.** For a host with no budget row, or whose
-      pending row count <= its budget, the per-host rank filter is an
-      identity — every row is eligible. Those rows skip BOTH window
-      shuffles and flow straight into the final ``orderBy().limit()``,
-      which compiles to TakeOrderedAndProject (per-partition heaps over
-      the scan, no exchange). The per-host counts come from one cheap
-      map-side-combined aggregate.
-    - **Over-budget hosts** (count > budget — the genuinely rate-limited
-      ones) go through the salted pre-prune + exact window: a naive
-      per-host window puts a host holding 50% of the frontier into ONE
-      task, so rank first within (host, xxhash64(url)%salt_buckets) and
-      keep each bucket's top min(budget, batch_size) rows — provably a
-      superset of every row the exact pop can emit (any popped row has
-      true host-rank <= min(budget, batch_size), and a row's bucket-rank
-      is <= its host-rank) — then the exact per-host window runs on <=
+    - **Unbudgeted bypass.** For a host with no budget row (no politeness
+      limit), the per-host rank filter is an identity — every row is
+      eligible. Those rows skip BOTH window shuffles and flow straight
+      into the final ``orderBy().limit()``, which compiles to
+      TakeOrderedAndProject (per-partition heaps over the scan, no
+      exchange). The test is a broadcast-join null check — no extra scan,
+      no extra job (an earlier counts-based variant also bypassed
+      under-budget hosts, but its per-host count aggregate cost an extra
+      O(pending) scan + broadcast per round, a bad trade for the engine's
+      small per-round batches).
+    - **Budgeted hosts** (the genuinely rate-limited ones) go through the
+      salted pre-prune + exact window: a naive per-host window puts a
+      host holding 50% of the frontier into ONE task, so rank first
+      within (host, xxhash64(url)%salt_buckets) and keep each bucket's
+      top min(budget, batch_size) rows — provably a superset of every row
+      the exact pop can emit (any popped row has true host-rank <=
+      min(budget, batch_size), and a row's bucket-rank is <= its
+      host-rank) — then the exact per-host window runs on <=
       salt_buckets * min(budget, batch_size) rows per host.
 
     Result is identical to the unpruned single-window pop (verified
     against the sequential oracle in tests/test_crawl_e2e.py and directly
-    in tests/test_politeness_pop.py). The bypass is the scaling win: in
-    the common case (most hosts comfortably inside budget) the pop is one
-    light aggregate + a narrow heap scan; only rate-limited hosts' rows
+    in tests/test_politeness_pop.py). The bypass is the scaling win when
+    most of the frontier belongs to unlimited hosts: those rows never
     shuffle at all.
     """
     budgets = hosts.select(
         "host", F.floor(F.col("tokens")).cast("long").alias("__budget")
     )
-    counts = pending.groupBy("host").agg(F.count("*").alias("__cnt"))
-    tagged = pending.join(F.broadcast(budgets), "host", "left").join(
-        F.broadcast(counts), "host"
-    )
-    under = F.col("__budget").isNull() | (F.col("__cnt") <= F.col("__budget"))
-    bypass = tagged.where(under).drop("__budget", "__cnt")
+    tagged = pending.join(F.broadcast(budgets), "host", "left")
+    bypass = tagged.where(F.col("__budget").isNull()).drop("__budget")
 
     keep_k = F.least(F.col("__budget"), F.lit(batch_size))
     w_salt = Window.partitionBy("host", "__salt").orderBy(
         F.desc("priority"), F.asc("seq")
     )
     pruned = (
-        tagged.where(~under)
-        .drop("__cnt")
+        tagged.where(F.col("__budget").isNotNull())
         .withColumn("__salt", F.pmod(F.xxhash64("url"), F.lit(salt_buckets)))
         .withColumn("__srank", F.row_number().over(w_salt))
         .where(F.col("__srank") <= keep_k)

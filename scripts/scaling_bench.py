@@ -122,13 +122,12 @@ plan doesn't need:
   url-hash-bucketed Iceberg seen table the 10^10 design maintains), so
   each batch exchanges only the candidate side. Dedup speedup 2.57x →
   3.10x.
-- **Pop under-budget bypass.** The per-host budget window is an identity
-  filter for any host whose pending count <= its budget (or with no
-  budget row). Those rows now skip both window shuffles and feed the
-  final TakeOrderedAndProject heap directly; only genuinely rate-limited
-  hosts' rows are salt-pruned and ranked. Same output (pop-exactness +
-  full-crawl bit-for-bit tests); pop N=1 time fell ~30% and its weight in
-  the pipeline with it.
+- **Pop unbudgeted-host bypass.** The per-host budget window is an
+  identity filter for any host with no politeness budget row. Those rows
+  now skip both window shuffles and feed the final TakeOrderedAndProject
+  heap directly; only budgeted (rate-limited) hosts' rows are salt-pruned
+  and ranked. Same output (pop-exactness + full-crawl bit-for-bit
+  tests); pop N=1 time fell ~30% and its weight in the pipeline with it.
 - **Identical job across levels.** Shuffle partitions are pinned to one
   value at both levels (previously 2/core, so the two levels ran
   different plans).
