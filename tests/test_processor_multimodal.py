@@ -260,3 +260,68 @@ def test_streaming_ingest_after_reprioritize(spark, tmp_path):
     eng_rows = sorted(map(tuple, post))
     stream_rows = sorted(map(tuple, sv.collect()))
     assert eng_rows == stream_rows
+
+
+def test_streamed_seqs_not_reused_after_purge(spark, tmp_path):
+    """Seq allocation regression (the 'seq is never reused' invariant the
+    equality-delete design depends on): after purge_host() removes the
+    highest-seq pending rows, a streamed admission must allocate from the
+    checkpoint's seq_counter — NOT max(seq)+1 over the surviving rows,
+    which would hand out previously-assigned seqs and let a historical
+    'del' record silently kill a future re-add at the same key."""
+    from mcp_crawl4ai_rag_spark.operators.crawl import CrawlEngine
+    from mcp_crawl4ai_rag_spark.sources.synthetic_web import generate_web
+    from mcp_crawl4ai_rag_spark.streaming.continuous import start_link_ingest
+
+    web = generate_web(seed=31, n_hosts=4, n_pages=60, n_seeds=2)
+    workdir = str(tmp_path / "wd")
+    hosts_df = spark.createDataFrame(
+        [(h, 1e9, 1e9) for h, _, _ in web.hosts],
+        "host string, capacity double, refill_rate double",
+    )
+    robots_df = web.robots_df(spark)
+    eng = CrawlEngine(
+        spark, web.corpus_df(spark), robots_df, hosts_df, workdir,
+        batch_size=5, max_attempts=3,
+    )
+    eng.seed(web.seeds)
+    eng.round()
+    ck_seq = eng.seq_counter
+    pending = eng._read_pending().collect()
+    assert pending
+    # purge the host holding the highest-seq pending row
+    top = max(pending, key=lambda r: r["seq"])
+    assert eng.purge_host(top["host"]) > 0
+    surviving_max = max(
+        (r["seq"] for r in eng._read_pending().collect()), default=-1
+    )
+    assert surviving_max < top["seq"]  # the purge removed the top seq
+
+    # stream one fresh URL
+    pre_urls = {r["url"] for r in eng.frontier().collect()}
+    new_url = sorted(
+        u for u, p in web.corpus.items()
+        if p["status_code"] == 200 and p["spans"] and u not in pre_urls
+        and u.split("/")[2] != top["host"]
+    )[0]
+    links_dir = tmp_path / "links"
+    links_dir.mkdir()
+    with open(links_dir / "b1.json", "w") as f:
+        f.write(json.dumps({
+            "href": new_url, "parent_url": "stream", "link_pos": 0, "depth": 0,
+        }) + "\n")
+    q = start_link_ingest(
+        spark, str(links_dir), workdir, robots_df, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(60)
+    for _ in range(20):
+        if not q.isActive:
+            break
+        time.sleep(1)
+
+    resumed = CrawlEngine.resume(spark, web.corpus_df(spark), robots_df, workdir)
+    row = [r for r in resumed._read_pending().collect() if r["url"] == new_url]
+    assert len(row) == 1
+    # allocated at/above the engine's counter — never a purged seq
+    assert row[0]["seq"] >= ck_seq
+    assert resumed.seq_counter > ck_seq
