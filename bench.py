@@ -194,7 +194,9 @@ def run_schedule_bench(
         finally:
             shutil.rmtree(stage_dir, ignore_errors=True)
 
-    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # best-of-3 by default: pipeline runs are ~11 s at sf0.1 and this
+    # box's run-to-run spread is large (205-530k urls/s observed)
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     runs = [one_run() for _ in range(max(1, n_runs))]
     best = min(runs, key=lambda r: r["pipeline_sec"])
     t_canon, t_dedup, t_pop = best["t_canon"], best["t_dedup"], best["t_pop"]
