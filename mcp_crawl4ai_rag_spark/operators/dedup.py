@@ -706,21 +706,27 @@ def embedding_near_duplicates(
     buckets whenever one projection sits within the perturbation of zero
     (observed in practice — 1 of 223 planted near-identical pairs missed
     at sf0.1). Multi-probe closes it deterministically: a plane whose
-    |projection| < probe_margin * ||v|| is *uncertain*, and the vector
-    probes both sides of that plane (every sign combination over its
-    uncertain planes). Guarantee: a pair (a, b) is co-bucketed whenever,
-    on every plane where their signs differ, the smaller |projection| is
-    under the margin — which holds for any pair with
-    ||a - b|| * max_i||h_i|| < probe_margin * min(||a||, ||b||). Pairs
-    farther apart than the margin remain probabilistic (standard LSH
-    recall), but those are far from the near-identical regime.
+    |projection| < probe_margin * ||v|| is *uncertain*, and the probing
+    side emits every sign combination over its uncertain planes.
 
-    Scale shape: probes explode each row to its probe buckets (expected
+    The probe is ONE-SIDED by a symmetry argument: if the pair's signs
+    differ on plane i, then d_a(i) and d_b(i) straddle zero with
+    |d_a - d_b| <= ||a - b|| * ||h_i||, so BOTH |d_a(i)| and |d_b(i)| are
+    under that bound — whenever the margin covers the pair's distance,
+    every differing plane is uncertain for BOTH vectors. The left side's
+    probe set therefore always contains the right side's PRIMARY bucket:
+    joining exploded-left against primary-right finds the pair, no
+    right-side explode needed. Guarantee: any pair with
+    ||a - b|| * max_i||h_i|| < probe_margin * min(||a||, ||b||) is found;
+    farther pairs remain probabilistic (standard LSH recall), but those
+    are far from the near-identical regime.
+
+    Scale shape: the left side explodes to its probe buckets (expected
     blowup 1 + planes * P(|N(0,1)| < margin) ≈ 1.4x at margin 0.05, hard
-    cap max_probes), the self-join runs on the probe bucket, duplicates
-    from multi-bucket co-occurrence drop via dropDuplicates BEFORE the
-    O(dim) exact verify. One extra bounded shuffle vs the single-bucket
-    variant.
+    cap max_probes); the right side carries one primary bucket per row.
+    Since a row's probe buckets are distinct integers, each (left, right)
+    pair matches on AT MOST one probe value — no duplicate pairs, no
+    dedup shuffle before the O(dim) exact verify.
 
     dim MUST match the embedding dimensionality (explicit parameter — not
     probed with .first(), so building the plan launches no Spark job)."""
@@ -777,33 +783,38 @@ def embedding_near_duplicates(
             ),
         ).otherwise(F.transform(acc, lambda b: b + p["bit"])),
     )
-    tagged = (
-        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-        .withColumn("__planes", plane_info)
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    probing = (
+        base.withColumn("__planes", plane_info)
         # cap pathological blowup (a vector near-orthogonal to many
         # planes); the primary bucket is always element 1, so the cap
         # never drops it
         .withColumn("bucket", F.explode(F.slice(probes, 1, max_probes)))
         .drop("__planes")
     )
-    l, r = tagged.alias("l"), tagged.alias("r")
-    pairs = (
-        l.join(
-            r,
-            (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id")),
-        )
-        .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            F.col("l.vec").alias("vec_a"),
-            F.col("r.vec").alias("vec_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+    # primary = the probe fold with every plane certain: sum of sign bits
+    primary = base.withColumn("__planes", plane_info).select(
+        "id",
+        "vec",
+        F.aggregate(
+            F.col("__planes"), F.lit(0), lambda acc, p: acc + p["bit"]
+        ).alias("bucket"),
+    )
+    l, r = probing.alias("l"), primary.alias("r")
+    pairs = l.join(
+        r,
+        (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") != F.col("r.id")),
+    ).select(
+        F.least(F.col("l.id"), F.col("r.id")).alias("id_a"),
+        F.greatest(F.col("l.id"), F.col("r.id")).alias("id_b"),
+        F.col("l.vec").alias("vec_a"),
+        F.col("r.vec").alias("vec_b"),
     )
     return (
         pairs.withColumn("cos", cosine_sim(F.col("vec_a"), F.col("vec_b")))
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
