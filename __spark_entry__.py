@@ -2047,7 +2047,15 @@ def oracle_sql() -> dict[str, str]:
             -- every pair with cosine >= threshold, same float32 perturbation
             -- as the Spark query (the bucket join must have 100% recall on
             -- this data for the row sets to match — that recall is exactly
-            -- what the gate certifies)
+            -- what the gate certifies).
+            -- CORPUS-DEPENDENT EQUALITY: exact == LSH holds because every
+            -- qualifying pair here is near-identical (cos > 0.999, inside
+            -- the multi-probe margin guarantee). Random 64-dim fixture
+            -- pairs never land in [0.98, ~0.9987], the band where SRP
+            -- recall is probabilistic — at a NEW scale factor a spurious
+            -- miss there would be a data-band artifact, not an engine bug
+            -- (check the missing pair's cosine against the margin bound
+            -- probe_margin*min||v|| / max||h||).
             WITH emb AS (
               SELECT vec_id, embedding FROM embeddings WHERE vec_id % 9 = 0),
             near AS (
@@ -2071,7 +2079,12 @@ def oracle_sql() -> dict[str, str]:
             -- result is banding candidates ∩ exact-verified, so equality
             -- additionally certifies the LSH banding's recall on this
             -- corpus (every qualifying pair here has J >= 0.9, where the
-            -- deterministic 32-perm/8-band signature recall is ~1)
+            -- deterministic 32-perm/8-band signature recall is ~1).
+            -- CORPUS-DEPENDENT EQUALITY: a new scale factor that plants a
+            -- pair with J in [0.5, ~0.9) could fail this gate with a
+            -- CORRECT engine (banding recall < 1 in that band by design);
+            -- on a mismatch, check the missing pair's exact Jaccard before
+            -- suspecting the engine.
             WITH sh AS (
               SELECT doc_id,
                 list_distinct(CASE

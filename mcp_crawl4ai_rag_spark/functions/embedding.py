@@ -90,6 +90,10 @@ def make_cosine_batch_udf(query: list[float]):
     @pandas_udf("double")
     def cos(vecs: pd.Series) -> pd.Series:
         m = np.vstack(vecs.to_numpy()).astype(np.float64)
+        if m.shape[1] != q.shape[0]:
+            raise ValueError(
+                f"cosine: embedding dim {m.shape[1]} != query dim {q.shape[0]}"
+            )
         norms = np.linalg.norm(m, axis=1)
         norms[norms == 0] = 1.0
         return pd.Series(m @ q / (norms * qn))

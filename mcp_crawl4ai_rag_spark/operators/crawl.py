@@ -141,9 +141,14 @@ def fetch_with_partition_sessions(
                 for i, r in zip(todo, res):
                     err = r[3] if len(r) > 3 else None
                     results[i] = (r[0], r[1], r[2], err or "", sid)
+                    if err == "session":
+                        # a broken session must not survive into later rows/
+                        # batches even when this row's retry budget is spent
+                        # (with max_retries=0 the dead session would
+                        # otherwise serve — and fail — every remaining row)
+                        session_broken = True
                     if err and attempt < max_retries:
                         failed.append(i)
-                        session_broken = session_broken or err == "session"
                 if session_broken:
                     # reference: permanent (session) error → destroy the
                     # instance, recreate, retry on the fresh one

@@ -696,108 +696,125 @@ def simhash_near_duplicates(
 def embedding_near_duplicates(
     df: DataFrame, vec_col: str, id_col: str, threshold: float = 0.95,
     dim: int = 64, probe_margin: float = 0.05, max_probes: int = 32,
+    planes: int = 16, tables: int = 2,
 ) -> DataFrame:
     """Embedding-cosine near-dup via multi-probe sign-random-projection
     LSH: candidate pairs from a bucket join, then exact cosine verify
     (pure Column fold).
 
-    Plain SRP bucketing has a recall hole precisely where near-dup matters
-    most: a pair of NEAR-IDENTICAL vectors still lands in different
-    buckets whenever one projection sits within the perturbation of zero
-    (observed in practice — 1 of 223 planted near-identical pairs missed
-    at sf0.1). Multi-probe closes it deterministically: a plane whose
-    |projection| < probe_margin * ||v|| is *uncertain*, and the probing
-    side emits every sign combination over its uncertain planes.
+    **Scale shape — the bucket count grows with the corpus.** Each of the
+    ``tables`` independent hash tables uses a FULL-WIDTH ``planes``-bit
+    signature as its bucket key, so per-table bucket occupancy is
+    N / 2^planes and expected random-pair collisions are
+    tables * N^2 / 2^(planes+1): ``planes`` is the knob that keeps the
+    within-bucket verify linear. Size it ~ log2(N / target_occupancy):
+    the default 16 suits 10^5-10^7 vectors (occupancy 1-150); a 10^10-row
+    corpus wants planes≈30-34 (bucket ids stay int64 up to
+    planes + log2(tables) < 63). This replaces the round-3 shape — a
+    single 8-plane table whose FIXED 256 buckets made candidate pairs
+    N^2/256, i.e. all-pairs with a constant discount — the one plan that
+    would not survive 100x.
 
-    The probe is ONE-SIDED by a symmetry argument: if the pair's signs
-    differ on plane i, then d_a(i) and d_b(i) straddle zero with
-    |d_a - d_b| <= ||a - b|| * ||h_i||, so BOTH |d_a(i)| and |d_b(i)| are
-    under that bound — whenever the margin covers the pair's distance,
-    every differing plane is uncertain for BOTH vectors. The left side's
-    probe set therefore always contains the right side's PRIMARY bucket:
-    joining exploded-left against primary-right finds the pair, no
-    right-side explode needed. Guarantee: any pair with
-    ||a - b|| * max_i||h_i|| < probe_margin * min(||a||, ||b||) is found;
-    farther pairs remain probabilistic (standard LSH recall), but those
-    are far from the near-identical regime.
+    **Recall.** Narrow bucket keys (many planes) lower per-table recall
+    for moderately-similar pairs, recovered two ways:
 
-    Scale shape: the left side explodes to its probe buckets (expected
-    blowup 1 + planes * P(|N(0,1)| < margin) ≈ 1.4x at margin 0.05, hard
-    cap max_probes); the right side carries one primary bucket per row.
-    Since a row's probe buckets are distinct integers, each (left, right)
-    pair matches on AT MOST one probe value — no duplicate pairs, no
-    dedup shuffle before the O(dim) exact verify.
+    - *Multi-probe (deterministic, near-identical regime).* A plane whose
+      |projection| < probe_margin * ||v|| is *uncertain*, and the probing
+      side emits every sign combination over its uncertain planes. The
+      probe is ONE-SIDED by a symmetry argument: if the pair's signs
+      differ on plane i, then d_a(i) and d_b(i) straddle zero with
+      |d_a - d_b| <= ||a - b|| * ||h_i||, so BOTH |d_a(i)| and |d_b(i)|
+      are under that bound — whenever the margin covers the pair's
+      distance, every differing plane is uncertain for BOTH vectors, and
+      the left side's probe set contains the right side's PRIMARY bucket.
+      Guarantee (PER TABLE, so any one table suffices): every pair with
+      ||a - b|| * max_i||h_i|| < probe_margin * min(||a||, ||b||) is
+      found. Without the probe, plain SRP misses near-identical pairs
+      whenever one projection sits within the perturbation of zero
+      (observed: 1 of 223 planted pairs at sf0.1).
+    - *Independent tables (probabilistic, moderate band).* A pair at
+      angle θ collides in one table w.p. (1 - θ/π)^planes; ``tables``
+      tables give 1-(1-p)^tables — the standard LSH OR-construction,
+      raise ``tables`` to chase recall below the margin-guaranteed band.
+
+    Cost: the probing side explodes to tables * E[2^#uncertain] ≈
+    tables * (1 + 2*Φ(margin)-1)^planes rows per vector (≈ 3.7 at the
+    defaults; hard cap ``max_probes`` per table — the primary bucket is
+    slice element 1, never dropped), the primary side to ``tables`` rows.
+    Within one table a pair matches on AT MOST one probe value; across
+    tables it may match several times, so the final dropDuplicates
+    de-dups the (tiny, post-verify) pair set.
 
     dim MUST match the embedding dimensionality (explicit parameter — not
-    probed with .first(), so building the plan launches no Spark job)."""
+    probed with .first(), so building the plan launches no Spark job).
+
+    Kernel: the tables*planes projections are ONE numpy matmul per Arrow
+    batch (a pandas UDF, per the no-per-row-Python contract — a Catalyst
+    fold of 2*16 separate zip_with/aggregate array traversals measured
+    ~2.5x slower at sf0.1 and scales worse with dim). Sign-vs-zero could
+    differ between BLAS pairwise and sequential summation only where
+    |dot| ~ ulp — far inside the uncertain band, where BOTH signs are
+    probed, so the candidate set is summation-order-robust."""
     from mcp_crawl4ai_rag_spark.functions.embedding import cosine_sim
 
-    planes = 8
+    if planes + max(0, tables - 1).bit_length() >= 63:
+        raise ValueError("planes too large: bucket ids must fit int64")
     rng = np.random.default_rng(7)
-    # random hyperplanes as literal arrays — broadcast-free, deterministic
-    hyper = rng.standard_normal((planes, dim))
+    # random hyperplanes, deterministic; one (dim x tables*planes) matrix
+    hyper = rng.standard_normal((tables, planes, dim))
+    hyper_flat = np.ascontiguousarray(
+        hyper.reshape(tables * planes, dim).T
+    )  # dim x (tables*planes)
+    powers = (1 << np.arange(planes)).astype(np.int64)
+    offsets = (np.arange(tables, dtype=np.int64) << planes)
 
-    def dot_expr(vec, i):
-        return F.aggregate(
-            F.zip_with(vec, F.lit(hyper[i].tolist()), lambda a, b: a.cast("double") * b),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+    @pandas_udf("array<array<long>>")
+    def probe_buckets(vecs: pd.Series) -> pd.Series:
+        m = np.vstack(vecs.to_numpy()).astype(np.float64)  # n x dim
+        if m.shape[1] != dim:
+            raise ValueError(f"embedding dim {m.shape[1]} != declared dim {dim}")
+        dots = m @ hyper_flat  # n x tables*planes, one BLAS op
+        norms = np.linalg.norm(m, axis=1)
+        bits = (dots >= 0).astype(np.int64).reshape(-1, tables, planes)
+        primary = bits @ powers + offsets  # n x tables
+        uncertain = (np.abs(dots) < probe_margin * norms[:, None]).reshape(
+            -1, tables, planes
         )
+        n_unc = uncertain.sum(axis=2)  # n x tables
+        out = []
+        for i in range(m.shape[0]):
+            row = []
+            for t in range(tables):
+                p = int(primary[i, t])
+                u = n_unc[i, t]
+                if u == 0:  # the common case: primary only, no Python math
+                    row.append([p])
+                    continue
+                idx = np.nonzero(uncertain[i, t])[0]
+                # every sign combination over the uncertain planes; XOR
+                # masks keep the primary as element 1 (combo 0), so the
+                # max_probes cap never drops it
+                combos = np.arange(1 << u, dtype=np.int64)[:max_probes]
+                masks = (
+                    ((combos[:, None] >> np.arange(u)) & 1) * powers[idx]
+                ).sum(axis=1)
+                row.append((p ^ masks).tolist())
+            out.append(row)
+        return pd.Series(out)
 
-    # Each dot is evaluated ONCE in a projection; the probe-bucket set is
-    # then a runtime fold over the 8 (bit, flip, uncertain) triples with an
-    # array accumulator — building it by nesting Column `when`s instead
-    # doubles the expression tree per plane (2^planes codegen blowup,
-    # measured 58x slower at sf0.1).
-    norm = F.sqrt(
-        F.aggregate(
-            F.col("vec"),
-            F.lit(0.0),
-            lambda acc, v: acc + v.cast("double") * v.cast("double"),
-        )
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).where(
+        F.col(vec_col).isNotNull()
     )
-    plane_info = F.array(
-        *[
-            F.struct(
-                F.when(dot_expr(F.col("vec"), i) >= 0, F.lit(1 << i))
-                .otherwise(F.lit(0))
-                .alias("bit"),
-                F.when(dot_expr(F.col("vec"), i) >= 0, F.lit(0))
-                .otherwise(F.lit(1 << i))
-                .alias("flip"),
-                (F.abs(dot_expr(F.col("vec"), i)) < F.lit(probe_margin) * norm).alias(
-                    "uncertain"
-                ),
-            )
-            for i in range(planes)
-        ]
+    sig = base.withColumn("__tbl_probes", probe_buckets(F.col("vec")))
+    probing = sig.select(
+        "id", "vec", F.explode(F.flatten(F.col("__tbl_probes"))).alias("bucket")
     )
-    probes = F.aggregate(
-        F.col("__planes"),
-        F.array(F.lit(0)),
-        lambda acc, p: F.when(
-            p["uncertain"],
-            F.concat(
-                F.transform(acc, lambda b: b + p["bit"]),
-                F.transform(acc, lambda b: b + p["flip"]),
-            ),
-        ).otherwise(F.transform(acc, lambda b: b + p["bit"])),
-    )
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    probing = (
-        base.withColumn("__planes", plane_info)
-        # cap pathological blowup (a vector near-orthogonal to many
-        # planes); the primary bucket is always element 1, so the cap
-        # never drops it
-        .withColumn("bucket", F.explode(F.slice(probes, 1, max_probes)))
-        .drop("__planes")
-    )
-    # primary = the probe fold with every plane certain: sum of sign bits
-    primary = base.withColumn("__planes", plane_info).select(
+    # element 1 of each table's probe array IS that table's primary bucket
+    primary = sig.select(
         "id",
         "vec",
-        F.aggregate(
-            F.col("__planes"), F.lit(0), lambda acc, p: acc + p["bit"]
+        F.explode(
+            F.transform(F.col("__tbl_probes"), lambda a: F.element_at(a, 1))
         ).alias("bucket"),
     )
     l, r = probing.alias("l"), primary.alias("r")

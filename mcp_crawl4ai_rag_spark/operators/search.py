@@ -52,7 +52,24 @@ def vector_topk(
     if len(query_vec) >= BLAS_DIM_THRESHOLD:
         sim = make_cosine_batch_udf(list(query_vec))(F.col(vec_col))
     else:
-        sim = cosine_sim(F.col(vec_col), query_vec)
+        # fail LOUDLY on a dimension mismatch: below the BLAS threshold the
+        # zip_with fold would otherwise pad with nulls and return null
+        # similarities — silently garbage top-k (the BLAS path already
+        # raises on shape mismatch inside the matvec)
+        sim = F.when(
+            F.size(F.col(vec_col)) == F.lit(len(query_vec)),
+            cosine_sim(F.col(vec_col), query_vec),
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "vector_topk: embedding dim mismatch — query has "
+                        f"{len(query_vec)} dims, row has "
+                    ),
+                    F.size(F.col(vec_col)).cast("string"),
+                )
+            ).cast("double")
+        )
     return (
         chunks.where(F.col(vec_col).isNotNull())
         .withColumn("similarity", sim)

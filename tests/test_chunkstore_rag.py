@@ -97,10 +97,9 @@ def test_rag_query_2560_dim_blas_path(spark, tmp_path):
         ).collect()
     }
     for r in rows:
-        if r["tier"] in (0, 1):  # tiers with a real vector similarity
-            sim = r["similarity"] / 1.2 if r["tier"] == 0 else r["similarity"]
-            sim = min(sim, 1.0 / 1.2) if r["tier"] == 0 else sim
-            # tier-0 caps at 1.0 pre-boost reconstruction is lossy when the
-            # cap bites; only assert when it did not
-            if r["tier"] == 1:
-                assert abs(sim - exact[r["id"]]) < 1e-6
+        if r["tier"] == 1:  # pure vector tier: similarity is the raw cosine
+            assert abs(r["similarity"] - exact[r["id"]]) < 1e-6
+        elif r["tier"] == 0 and r["similarity"] < 1.0 - 1e-9:
+            # boosted tier stores min(raw * 1.2, 1.0); reconstruction is
+            # exact whenever the cap did not bite
+            assert abs(r["similarity"] / 1.2 - exact[r["id"]]) < 1e-6

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from mcp_crawl4ai_rag_spark.operators import dedup as D
@@ -209,6 +210,46 @@ def test_embedding_near_duplicates(spark):
     df = spark.createDataFrame([(1, v1), (2, v2), (3, v3)], "id int, vec array<float>")
     pairs = D.embedding_near_duplicates(df, "vec", "id", threshold=0.99, dim=32).collect()
     assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
+
+
+def test_embedding_near_duplicates_recall_and_bucket_scaling(spark):
+    """The SRP signature must (a) find EVERY planted near-identical pair —
+    the one-sided multi-probe guarantee, across planes/tables settings —
+    and (b) actually use a bucket space that grows with ``planes``
+    (occupancy N/2^planes): the round-3 scale defect was a hard-coded
+    8-plane signature whose 256 buckets made candidates all-pairs/256."""
+    from mcp_crawl4ai_rag_spark.functions.embedding import hash_embed_py
+
+    dim, n = 32, 150
+    rows = []
+    for i in range(n):
+        v = hash_embed_py(f"doc {i}", dim)
+        rows.append((i, v))
+        # planted near-identical twin: well inside the probe-margin bound
+        rows.append((i + 10_000, [x * 0.999 + 0.0001 for x in v]))
+    df = spark.createDataFrame(rows, "id int, vec array<float>")
+    for planes, tables in [(16, 2), (20, 1)]:
+        got = {
+            (p["id_a"], p["id_b"])
+            for p in D.embedding_near_duplicates(
+                df, "vec", "id", threshold=0.99, dim=dim,
+                planes=planes, tables=tables,
+            ).collect()
+        }
+        assert {(i, i + 10_000) for i in range(n)} <= got, (planes, tables)
+    # the signature space: distinct primary buckets must exceed the old
+    # fixed 256 — with 150 random 32-dim vectors and 2^16 buckets per
+    # table, collisions are rare, so nearly every base vector gets its own
+    # bucket (the twin shares it by construction)
+    pairs = D.embedding_near_duplicates(
+        df, "vec", "id", threshold=0.99, dim=dim, planes=16, tables=1
+    )
+    n_pairs = pairs.count()
+    # no random-pair pollution: (at most a handful of) extra pairs beyond
+    # the planted ones would mean bucket occupancy is not O(N/2^planes)
+    assert n <= n_pairs <= n + 5
+    with pytest.raises(ValueError):
+        D.embedding_near_duplicates(df, "vec", "id", dim=dim, planes=63, tables=2)
 
 
 def test_winnow_near_duplicates(spark):

@@ -77,3 +77,26 @@ def test_pagerank_uniform_on_cycle(spark):
     df = spark.createDataFrame(edges, ["src", "dst"])
     for r in G.pagerank(df, n_iter=7).collect():
         assert abs(r["rank"] - 1.0) < 1e-12
+
+
+def test_entry_pagerank_ranks_clear_of_rounding_boundary():
+    """The link_pagerank oracle gate compares ranks ROUNDED to 6dp; cross-
+    engine float-summation spread is ~1e-9 over 8 iterations, so the gate
+    is only stable if no fixture rank sits within ~1e-9 of a 0.5e-6
+    rounding boundary. Pin that margin here (numpy twin of the entry
+    graph: doc_id -> (doc_id*13+7) % 100) for the driver's sf0.01 and the
+    local gates' sf0.001 — if a future fixture lands on a boundary, THIS
+    fails with a clear message instead of the gate hash flipping
+    nondeterministically."""
+    for n_docs in (500, 5000):  # documents rows at sf0.001/0.01 and sf0.1
+        edges = [
+            (i, (i * 13 + 7) % 100) for i in range(n_docs) if i != (i * 13 + 7) % 100
+        ]
+        exp = _pagerank_numpy(edges, n_iter=8)
+        for v, rank in exp.items():
+            frac = abs(rank * 1e6 - np.floor(rank * 1e6) - 0.5)
+            assert frac > 1e-3, (
+                f"rank of node {v} at n_docs={n_docs} is within 1e-9 of a "
+                f"6dp rounding boundary ({rank!r}) — the oracle hash gate "
+                "would be summation-order-sensitive"
+            )
