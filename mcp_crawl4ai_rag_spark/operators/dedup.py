@@ -623,8 +623,22 @@ def near_duplicates_minhash(
     )
 
 
-def make_simhash_udf(bits: int = 64):
+def make_simhash_udf(bits: int = 64, hasher: str = "blake2b"):
+    """hasher='blake2b' (default, fast) or 'md5' — the md5 token hash is
+    ``int(md5(tok).hexdigest()[:16], 16)``, byte-identical to SQL
+    ``md5()``'s first 16 hex chars, so a DuckDB oracle can recompute the
+    signature exactly (blake2b has no SQL twin)."""
     shifts = np.arange(bits, dtype=np.uint64)
+    if hasher == "blake2b":
+        def tok_hash(tok: str) -> int:
+            return int.from_bytes(
+                hashlib.blake2b(tok.encode(), digest_size=8).digest(), "little"
+            )
+    elif hasher == "md5":
+        def tok_hash(tok: str) -> int:
+            return int(hashlib.md5(tok.encode()).hexdigest()[:16], 16)
+    else:
+        raise ValueError(f"unknown hasher {hasher!r}")
 
     @pandas_udf("bigint")
     def simhash(texts: pd.Series) -> pd.Series:
@@ -639,10 +653,7 @@ def make_simhash_udf(bits: int = 64):
             for i, tok in enumerate(toks):
                 h = token_hash_cache.get(tok)
                 if h is None:
-                    h = int.from_bytes(
-                        hashlib.blake2b(tok.encode(), digest_size=8).digest(),
-                        "little",
-                    )
+                    h = tok_hash(tok)
                     token_hash_cache[tok] = h
                 hs[i] = h
             # vectorized bit vote: +1 for set bits, -1 for clear bits
@@ -656,19 +667,38 @@ def make_simhash_udf(bits: int = 64):
 
 
 def simhash_near_duplicates(
-    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3,
+    n_blocks: int = 4, hasher: str = "blake2b",
 ) -> DataFrame:
-    """SimHash near-dup pairs: band the 64-bit hash into 4 × 16-bit blocks
-    (pigeonhole: hamming<=3 ⇒ at least one block equal), bucket-join, then
-    verify hamming distance with bit ops."""
+    """SimHash near-dup pairs: band the 64-bit hash into ``n_blocks``
+    blocks (sizes as even as 64/n allows), bucket-join on equal blocks,
+    then verify hamming distance with bit ops.
+
+    Pigeonhole recall: hamming <= h and n_blocks > h ⇒ at least one block
+    is equal, so with ``n_blocks > max_hamming`` recall is 100% —
+    corpus-independent, which is what lets the md5 variant's exact
+    all-pairs DuckDB oracle assert set EQUALITY (entry `dedup_simhash_md5`).
+    The default 4 blocks only guarantees hamming <= 3; callers using a
+    larger max_hamming trade recall in the (n_blocks..max_hamming] band
+    for fewer candidates, exactly like MinHash banding."""
+    widths = [64 // n_blocks + (1 if i < 64 % n_blocks else 0) for i in range(n_blocks)]
+    starts = [sum(widths[:i]) for i in range(n_blocks)]
     sim = df.select(
-        F.col(id_col).alias("id"), make_simhash_udf()(F.col(text_col)).alias("sh")
+        F.col(id_col).alias("id"),
+        make_simhash_udf(hasher=hasher)(F.col(text_col)).alias("sh"),
     ).cache()  # self-joined below: avoid recomputing the hash UDF per side
     blocks = sim.select(
         "id",
         "sh",
         F.posexplode(
-            F.array(*[F.shiftrightunsigned(F.col("sh"), i * 16).bitwiseAND(F.lit(0xFFFF)) for i in range(4)])
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("sh"), starts[i]).bitwiseAND(
+                        F.lit((1 << widths[i]) - 1)
+                    )
+                    for i in range(n_blocks)
+                ]
+            )
         ).alias("block_idx", "block_val"),
     )
     l, r = blocks.alias("l"), blocks.alias("r")

@@ -45,16 +45,28 @@ def brute_force_topk(
 
 
 def _sample_centroids(
-    items: DataFrame, nlist: int, item_vec: str, seed: int = 42
+    items: DataFrame, nlist: int, item_vec: str, seed: int = 42,
+    item_id: str = "vec_id",
 ) -> np.ndarray:
     """Deterministic coarse centroids: seeded sample + a few Lloyd steps on
-    the driver (sample is tiny; the expensive assignment stays distributed)."""
-    sample = (
-        items.select(item_vec)
-        .orderBy(F.xxhash64(F.col(item_vec).cast("string")))
-        .limit(max(nlist * 20, 200))
-        .collect()
-    )
+    the driver (sample is tiny; the expensive assignment stays distributed).
+
+    The sample is a hash-threshold filter on the ID column — deterministic
+    under any partitioning, no full-table sort, and no per-row vector
+    stringification (an earlier orderBy(xxhash64(vec::string)).limit(n)
+    compiled to TakeOrderedAndProject but still stringified EVERY vector
+    for the heap comparator). The post-filter orderBy runs over ~3x the
+    target rows only."""
+    target = max(nlist * 20, 200)
+    n = items.count()
+    h = F.pmod(F.xxhash64(F.col(item_id)), F.lit(1 << 32))
+    picked = items.select(h.alias("__h"), item_vec)
+    if n > target:
+        # 3x oversample: P(filter yields < target of expected 3*target)
+        # is negligible for target >= 200 (Chernoff)
+        thresh = min(1 << 32, int(3.0 * target * (1 << 32) / n))
+        picked = picked.where(F.col("__h") < F.lit(thresh))
+    sample = picked.orderBy("__h").limit(target).collect()
     x = np.array([r[item_vec] for r in sample], dtype=np.float64)
     rng = np.random.default_rng(seed)
     cent = x[rng.choice(len(x), size=min(nlist, len(x)), replace=False)]
