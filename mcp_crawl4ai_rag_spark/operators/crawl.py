@@ -66,6 +66,7 @@ from mcp_crawl4ai_rag_spark.operators.politeness import (
     charge_hosts,
     init_hosts,
     refill_hosts,
+    build_robots_rules,
     robots_allowed,
     with_host_and_path,
 )
@@ -231,10 +232,15 @@ class CrawlEngine:
         compact_every: int = 8,
         fetcher=None,
         rank_window_threshold: int = 10_000,
+        probe_broadcast_threshold: int = 1_000_000,
+        track_link_graph: bool = False,
     ):
         self.spark = spark
         self.corpus = corpus
         self.robots = robots
+        # static rules table: aggregate + regex-translate once, cache —
+        # every round's robots join reads this instead of re-shuffling
+        self._robots_rules = build_robots_rules(robots).cache()
         self.batch_size = batch_size
         self.max_attempts = max_attempts
         self.use_bloom = use_bloom
@@ -251,6 +257,15 @@ class CrawlEngine:
         # batches at or below this use the bounded window for link-seq
         # assignment; above it, the two-stage distributed rank
         self.rank_window_threshold = rank_window_threshold
+        # seen sets at or below this (upper-bounded by seq_counter, the
+        # total URLs ever admitted) use the plain anti-join for URL-seen
+        # dedup (one job wave; Spark may auto-broadcast the small seen
+        # side); above it, the probe-broadcast shape that never shuffles
+        # or driver-broadcasts the frontier (new_urls docstring). Same
+        # size-aware-dispatch design as rank_window_threshold; both paths
+        # are output-identical (tests/test_crawl_e2e.py pins bit-for-bit
+        # equality with the threshold forced to 0).
+        self.probe_broadcast_threshold = probe_broadcast_threshold
 
         # Frontier layout (the Iceberg v2 merge-on-read design at 10^10
         # scale): `pending` = host-bucket-partitioned BASE (rewritten only
@@ -270,6 +285,12 @@ class CrawlEngine:
         self.documents_tbl = SnapshotTable(workdir, "documents")
         self.hosts_tbl = SnapshotTable(workdir, "hosts")
         self.metrics_tbl = SnapshotTable(workdir, "metrics")
+        # opt-in accumulated (src, dst) edge list of fetched pages — the
+        # input to the PageRank -> reprioritize() adaptive-scheduling
+        # policy (run(reprioritize_every=k)); costs one distinct + append
+        # per round, so off by default
+        self.track_link_graph = track_link_graph
+        self.edges_tbl = SnapshotTable(workdir, "link_edges")
         self.checkpoint = CrawlCheckpoint(workdir)
         self._hosts_init = hosts
 
@@ -279,6 +300,60 @@ class CrawlEngine:
         self._pool: ThreadPoolExecutor | None = None
         self.seen_bloom = BloomFilter(bloom_bits) if use_bloom else None
         self.seen_cuckoo = ShardedCuckoo() if use_cuckoo else None
+        # opt-in phase timing: when True, round() adds a "phases" dict
+        # (driver-side wall seconds per materialization point) to its
+        # metrics — the profiling hook behind scripts/crawl_bench.py
+        self.profile_rounds = False
+        # Reusable unresolved Column trees for the round's fixed
+        # expressions. Column objects are immutable, name-resolved
+        # per-plan, and safe to share across rounds; building them once
+        # removes ~hundreds of py4j round-trips of driver-side plan
+        # construction per round (measured ~1.5 s/round of the profile's
+        # untimed 'other' at bench scale).
+        empty_spans = F.expr(
+            "CAST(array() AS array<struct<kind:string,text:string,"
+            "media_ref:string,offset:int>>)"
+        )
+        x_status = F.coalesce(F.col("status_code"), F.lit(404))
+        x_clean = clean_spans(F.coalesce(F.col("spans"), empty_spans))
+        x_text = render_spans_text(F.col("clean_spans"))
+        x_dead = is_permanent_error(F.col("status"), F.col("text"))
+        x_empty = ~F.col("is_dead_err") & (
+            F.length(F.regexp_replace(F.col("text"), r"\s", "")) == 0
+        )
+        x_outcome = (
+            F.when(F.col("is_dead_err"), F.lit("dead"))
+            .when(
+                F.col("is_empty")
+                & (
+                    F.lit(max_attempts is not None)
+                    & (F.col("attempts") + 1 >= F.lit(max_attempts or 0))
+                ),
+                F.lit("dead"),
+            )
+            .when(F.col("is_empty"), F.lit("retry"))
+            .otherwise(F.lit("fetched"))
+        )
+        self._rx = {
+            "salt": F.pmod(F.xxhash64("url"), F.lit(salt_buckets)),
+            "status": x_status,
+            "clean_spans": x_clean,
+            "text": x_text,
+            "is_dead_err": x_dead,
+            "is_empty": x_empty,
+            "outcome": x_outcome,
+            "canon_url": canonicalize_url(F.col("href")),
+            "url_ok": ~is_malformed(F.col("url")),
+            "seq_in_round": (F.col("pop_rank") - 1).cast("int"),
+            "links_agg": F.sum(
+                F.when(
+                    F.col("outcome") == "fetched",
+                    F.size(
+                        F.array_distinct(F.coalesce(F.col("out_links"), F.array()))
+                    ),
+                ).otherwise(F.lit(0))
+            ).alias("links"),
+        }
 
     # -- state I/O ----------------------------------------------------------
 
@@ -476,7 +551,7 @@ class CrawlEngine:
         )
         w = Window.partitionBy("url").orderBy(*order_cols)
         cand = cand.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1)
-        cand = robots_allowed(cand, self.robots)
+        cand = robots_allowed(cand, prebuilt_rules=self._robots_rules)
         ranked, pinned = with_global_rank(cand, order_cols, rank_col="__seed_rank")
         rows = (
             ranked.withColumn("seq", F.col("__seed_rank").cast("long"))
@@ -667,6 +742,10 @@ class CrawlEngine:
     def round(self) -> dict:
         """Run one crawl round; returns the round's metrics dict
         (popped == 0 ⇒ frontier drained)."""
+        import time as _time
+
+        _t0 = _time.perf_counter()
+        _ph: dict[str, float] = {}
         self.round_id += 1
         pending = self._read_pending()
         hosts = self._read(self.hosts_tbl, "hosts")
@@ -675,6 +754,7 @@ class CrawlEngine:
 
         popped = budgeted_pop(pending, hosts, self.batch_size).cache()
         n_popped = popped.count()
+        _ph["pop"] = _time.perf_counter() - _t0
         if n_popped == 0:
             popped.unpersist()
             self.round_id -= 1
@@ -688,11 +768,7 @@ class CrawlEngine:
         # Either way the salted repartition spreads hot hosts across tasks
         # (J5 skew note) first.
         nparts = self.fetch_partitions or self.spark.sparkContext.defaultParallelism
-        fetch_input = popped.repartition(
-            nparts,
-            F.col("host"),
-            F.pmod(F.xxhash64("url"), F.lit(self.salt_buckets)),
-        )
+        fetch_input = popped.repartition(nparts, F.col("host"), self._rx["salt"])
         if self.fetcher is not None:
             joined = fetch_with_partition_sessions(fetch_input, self.fetcher).drop(
                 "fetch_session", "fetch_error"
@@ -702,45 +778,16 @@ class CrawlEngine:
                 F.broadcast(popped.select("url")), "url", "left_semi"
             ).select("url", "status_code", "spans", "out_links")
             joined = fetch_input.join(F.broadcast(pages), "url", "left")
+        # prebuilt trees (__init__ _rx): is_empty is whitespace-equivalent
+        # to the oracle's str.strip() — F.trim only strips ASCII spaces
         enriched = (
             joined
-            .withColumn("status", F.coalesce(F.col("status_code"), F.lit(404)))
-            .withColumn(
-                "clean_spans",
-                clean_spans(
-                    F.coalesce(
-                        F.col("spans"),
-                        F.expr(
-                            "CAST(array() AS array<struct<kind:string,text:string,"
-                            "media_ref:string,offset:int>>)"
-                        ),
-                    )
-                ),
-            )
-            .withColumn("text", render_spans_text(F.col("clean_spans")))
-            .withColumn("is_dead_err", is_permanent_error(F.col("status"), F.col("text")))
-            .withColumn(
-                # whitespace-equivalent to the oracle's str.strip() — F.trim
-                # only strips ASCII spaces, which would misclassify pages
-                # whose cleaned text is '\n'/'\t'-only as fetched
-                "is_empty",
-                ~F.col("is_dead_err")
-                & (F.length(F.regexp_replace(F.col("text"), r"\s", "")) == 0),
-            )
-            .withColumn(
-                "outcome",
-                F.when(F.col("is_dead_err"), F.lit("dead"))
-                .when(
-                    F.col("is_empty")
-                    & (
-                        F.lit(self.max_attempts is not None)
-                        & (F.col("attempts") + 1 >= F.lit(self.max_attempts or 0))
-                    ),
-                    F.lit("dead"),
-                )
-                .when(F.col("is_empty"), F.lit("retry"))
-                .otherwise(F.lit("fetched")),
-            )
+            .withColumn("status", self._rx["status"])
+            .withColumn("clean_spans", self._rx["clean_spans"])
+            .withColumn("text", self._rx["text"])
+            .withColumn("is_dead_err", self._rx["is_dead_err"])
+            .withColumn("is_empty", self._rx["is_empty"])
+            .withColumn("outcome", self._rx["outcome"])
             .cache()
         )
 
@@ -764,7 +811,7 @@ class CrawlEngine:
             "host",
             "depth",
             F.lit(self.round_id).alias("fetch_round"),
-            (F.col("pop_rank") - 1).cast("int").alias("seq_in_round"),
+            self._rx["seq_in_round"].alias("seq_in_round"),
             "status",
             F.col("text").alias("content"),
             F.col("clean_spans").alias("spans"),
@@ -772,6 +819,26 @@ class CrawlEngine:
         futures.append(
             pool.submit(self._commit, self.documents_tbl, "documents", docs, mode="append")
         )
+
+        if self.track_link_graph:
+            edges = (
+                enriched.where(F.col("outcome") == "fetched")
+                .select(
+                    F.col("url").alias("src"),
+                    F.explode_outer("out_links").alias("href"),
+                )
+                .where(F.col("href").isNotNull())
+                .withColumn("dst", self._rx["canon_url"])
+                .where(~is_malformed(F.col("dst")))
+                .select("src", "dst")
+                .distinct()
+            )
+            futures.append(
+                pool.submit(
+                    self._commit, self.edges_tbl, "link_edges", edges,
+                    mode="append",
+                )
+            )
 
         # link pipeline (P5→P1→P2→J6→J3)
         links = (
@@ -783,14 +850,17 @@ class CrawlEngine:
             )
             .where(F.col("href").isNotNull())
         )
-        w_page = Window.partitionBy("pop_rank", "href").orderBy("link_pos")
-        links = (
-            links.withColumn("__rn", F.row_number().over(w_page))
-            .where(F.col("__rn") == 1)
-            .drop("__rn")
-        )
-        canon = links.withColumn("url", canonicalize_url(F.col("href"))).where(
-            ~is_malformed(F.col("url"))
+        # Per-page link dedup (SO1) is algebraically FUSED into the global
+        # first-discovery aggregate below: keeping min link_pos per
+        # (pop_rank, href) then taking min(struct(pop_rank, link_pos))
+        # per url is identical to taking the min over the un-deduped rows
+        # (duplicates only add larger (pop_rank, link_pos) tuples, which
+        # can never win the min; same-page duplicates share depth). An
+        # explicit row_number window here would shuffle the whole exploded
+        # link set once more per round for no semantic effect — at 10^10
+        # scale that is the round's largest intermediate.
+        canon = links.withColumn("url", self._rx["canon_url"]).where(
+            self._rx["url_ok"]
         )
         first = canon.groupBy("url").agg(
             F.min(F.struct("pop_rank", "link_pos", "depth")).alias("f")
@@ -801,13 +871,17 @@ class CrawlEngine:
             F.col("f.link_pos").alias("link_pos"),
             (F.col("f.depth") + 1).alias("depth"),
         ).transform(with_host_and_path)
-        cand = robots_allowed(cand, self.robots)
+        # cached: bounded by batch x out-degree, and read twice below (the
+        # seen-probe broadcast build + the final anti-join)
+        cand = robots_allowed(cand, prebuilt_rules=self._robots_rules).cache()
 
         # seen set: pending' ∪ fetched ∪ this round's fetches — this round's
         # deaths have already left the set (simulator order: deletes happen
         # before link insertion); popped non-dead rows stay seen
         dead = enriched.where(F.col("outcome") == "dead").select("url", "url_hash")
-        untouched_pending = pending.join(popped.select("url"), "url", "left_anti")
+        untouched_pending = pending.join(
+            F.broadcast(popped.select("url")), "url", "left_anti"
+        )
         retries = (
             enriched.where(F.col("outcome") == "retry")
             .withColumn("attempts", F.col("attempts") + 1)
@@ -843,6 +917,10 @@ class CrawlEngine:
             bloom=self.seen_bloom,
             cuckoo=self.seen_cuckoo,
             spark=self.spark,
+            # round candidates are bounded; once the frontier outgrows the
+            # threshold, the seen-scan probe shape (no frontier shuffle or
+            # driver broadcast) is the only safe plan
+            probe_broadcast=self.seq_counter > self.probe_broadcast_threshold,
         )
         # discovery-order seq assignment. Size-aware dispatch: a round's new
         # links are bounded by batch_size × out_degree, so small batches use
@@ -874,7 +952,9 @@ class CrawlEngine:
             .withColumn("bucket", self._bucket())
             .cache()
         )
+        _t = _time.perf_counter()
         n_new = new_rows.count()
+        _ph["links"] = _time.perf_counter() - _t
 
         # merge-on-read delta commit, O(batch): every popped row version gets
         # an equality 'del' on (url, attempts); retries re-append at
@@ -898,25 +978,21 @@ class CrawlEngine:
         futures.append(fut_delta)
         self.seq_counter += n_new
         if self.compact_every and self.round_id % self.compact_every == 0:
+            _t = _time.perf_counter()
             fut_delta.result()  # compaction folds the delta it just wrote
             self._compact_pending()
+            _ph["compact"] = _time.perf_counter() - _t
 
         # one stats pass: per-(host, outcome) counts + per-page-deduped link
         # totals (links_seen = Σ distinct hrefs of fetched pages — identical
         # to counting the exploded first-occurrence rows, without a 2nd job)
+        _t = _time.perf_counter()
         stats = (
             enriched.groupBy("host", "outcome")
-            .agg(
-                F.count("*").alias("n"),
-                F.sum(
-                    F.when(
-                        F.col("outcome") == "fetched",
-                        F.size(F.array_distinct(F.coalesce(F.col("out_links"), F.array()))),
-                    ).otherwise(F.lit(0))
-                ).alias("links"),
-            )
+            .agg(F.count("*").alias("n"), self._rx["links_agg"])
             .collect()
         )
+        _ph["stats"] = _time.perf_counter() - _t
         outcome_counts: dict[str, int] = {}
         host_popped: dict[str, int] = {}
         n_links_seen = 0
@@ -951,6 +1027,7 @@ class CrawlEngine:
             (self.round_id, f"host:{h}", "popped", int(n))
             for h, n in sorted(host_popped.items())
         ]
+        _t = _time.perf_counter()
         self._commit_rows(
             self.metrics_tbl,
             "metrics",
@@ -958,38 +1035,106 @@ class CrawlEngine:
             "round int, scope string, key string, value long",
             mode="append",
         )
+        _ph["metrics"] = _time.perf_counter() - _t
 
+        _t = _time.perf_counter()
         self._maintain_filters(
             new_rows.select("url_hash"),
             dead.select("url_hash") if self.use_cuckoo else None,
         )
+        _ph["filters"] = _time.perf_counter() - _t
         # barrier: every commit must be durable (a raised CommitConflict or
         # write error surfaces here) before the checkpoint pointer advances
+        _t = _time.perf_counter()
         for fut in futures:
             fut.result()
+        _ph["commits_join"] = _time.perf_counter() - _t
+        _t = _time.perf_counter()
         self._save_checkpoint()
+        _ph["ckpt"] = _time.perf_counter() - _t
         # long crawls would otherwise accumulate O(rounds) pending-table
         # rewrites; keep a bounded time-travel window (checkpoint pins the
         # current version, which is always retained)
         if self.snapshot_keep:
+            _t = _time.perf_counter()
             self.pending_tbl.expire_snapshots(keep=self.snapshot_keep)
             self.pending_delta_tbl.expire_snapshots(keep=self.snapshot_keep)
             self.hosts_tbl.expire_snapshots(keep=self.snapshot_keep)
+            _ph["expire"] = _time.perf_counter() - _t
         popped.unpersist()
         enriched.unpersist()
         new_rows.unpersist()
+        cand.unpersist()
         if pinned is not None:
             pinned.unpersist()
+        if self.profile_rounds:
+            _ph["total"] = _time.perf_counter() - _t0
+            _ph["other"] = _ph["total"] - sum(
+                v for k, v in _ph.items() if k != "total"
+            )
+            m["phases"] = {k: round(v, 3) for k, v in _ph.items()}
         return m
 
-    def run(self, max_rounds: int = 1000) -> list[dict]:
+    def run(
+        self,
+        max_rounds: int = 1000,
+        reprioritize_every: int | None = None,
+        pagerank_iter: int = 8,
+        priority_scale: int = 1000,
+    ) -> list[dict]:
+        """Run rounds to frontier drain (or ``max_rounds``).
+
+        ``reprioritize_every=k`` turns on the adaptive-scheduling policy
+        the north rule's priority max-heap implies: every k completed
+        rounds, PageRank over the accumulated link graph (requires
+        ``track_link_graph=True``) is folded into pending priorities via
+        ``reprioritize`` — the crawl shifts from BFS order to
+        importance-first mid-flight. Ranks are quantized to
+        ``int(rank * priority_scale)`` so the priority column stays an
+        int and ties keep the deterministic (priority DESC, seq ASC)
+        contract; the whole step is a normal delta commit + checkpoint,
+        so it is resume-safe and deterministic (pinned by
+        tests/test_crawl_e2e.py::test_reprioritize_every_policy).
+        """
+        if reprioritize_every and not self.track_link_graph:
+            raise ValueError("reprioritize_every requires track_link_graph=True")
         out = []
         for _ in range(max_rounds):
             m = self.round()
             if m["popped"] == 0:
                 break
             out.append(m)
+            if reprioritize_every and len(out) % reprioritize_every == 0:
+                m["reprioritized"] = self.reprioritize_by_pagerank(
+                    n_iter=pagerank_iter, priority_scale=priority_scale
+                )
         return out
+
+    def link_graph(self) -> DataFrame:
+        """Accumulated distinct (src, dst) edges of fetched pages
+        (``track_link_graph=True``); input to operators/graph.pagerank."""
+        return self._read(self.edges_tbl, "link_edges").dropDuplicates(
+            ["src", "dst"]
+        )
+
+    def reprioritize_by_pagerank(
+        self, n_iter: int = 8, priority_scale: int = 1000
+    ) -> int:
+        """One policy step: PageRank the link graph, quantize, fold into
+        pending priorities. Returns rows reprioritized (0 when the graph
+        is still empty)."""
+        from mcp_crawl4ai_rag_spark.operators.graph import pagerank
+
+        try:
+            edges = self.link_graph()
+        except FileNotFoundError:
+            return 0
+        ranks = pagerank(edges, src="src", dst="dst", n_iter=n_iter)
+        pr = ranks.select(
+            F.col("id").alias("url"),
+            F.round(F.col("rank") * priority_scale).cast("int").alias("priority"),
+        )
+        return self.reprioritize(pr)
 
     # -- result accessors ------------------------------------------------------
 

@@ -430,6 +430,7 @@ def new_urls(
     bloom: BloomFilter | None = None,
     cuckoo: ShardedCuckoo | None = None,
     spark=None,
+    probe_broadcast: bool = False,
 ) -> DataFrame:
     """Exactly the set of candidate urls not in `seen` (operations.py:43-59
     batch-upsert semantics), with an optional approximate-membership
@@ -437,20 +438,47 @@ def new_urls(
 
     candidates are deduped internally first (dropDuplicates) — the
     reference's executemany upsert keeps the first occurrence.
-    At scale: the anti-join shuffles only prefilter-HIT candidates; misses
-    skip the shuffle entirely (union of a shuffle-free branch). Both filter
-    kinds only ever over-approximate the seen set (bloom: no deletes;
-    cuckoo: inserts are overflow-checked), so a miss is proof-of-new and a
-    hit is resolved exactly.
+
+    Two scale shapes, chosen by the caller (identical output, pinned by
+    tests/test_dedup_filters.py):
+
+    - ``probe_broadcast=False`` (default): candidates ANTI JOIN seen,
+      prefilter-miss branch skipping the join. The right shape when the
+      candidate batch is itself huge (the bulk-ingest path): seen should
+      then be pre-partitioned/bucketed on the join key so only the
+      candidates shuffle (bench.py does exactly that).
+    - ``probe_broadcast=True``: probe `seen` with a broadcast semi-join
+      of the (prefiltered) candidate urls — ONE full seen scan, ZERO seen
+      shuffle — then anti-join the candidates against the broadcast hit
+      set (<= candidates). The right shape for the crawl round, where
+      candidates are bounded by batch x out-degree but seen is the
+      10^10-row frontier: the plain anti-join would let Spark sort-merge
+      (full seen shuffle per round) or auto-broadcast the whole seen set
+      through the driver. Callers should cache() the candidates frame —
+      the probe build and the final anti-join both read it.
+
+    The prefilter only shrinks the probe/join: a bloom/cuckoo miss is
+    proof-of-new (no deletes / overflow-checked), a hit is resolved
+    exactly, so output is exact either way.
     """
     cands = candidates.dropDuplicates([url_col])
-    if bloom is None and cuckoo is None:
+    might = None
+    if bloom is not None or cuckoo is not None:
+        might = (
+            make_bloom_contains_udf(spark, bloom)
+            if bloom is not None
+            else make_cuckoo_contains_udf(spark, cuckoo)
+        )
+    if probe_broadcast:
+        probe = cands.select(url_col)
+        if might is not None:
+            probe = probe.where(might(F.xxhash64(F.col(url_col))))
+        hits = seen.select(url_col).join(
+            F.broadcast(probe), url_col, "left_semi"
+        )
+        return cands.join(F.broadcast(hits), url_col, "left_anti")
+    if might is None:
         return cands.join(seen.select(url_col), url_col, "left_anti")
-    might = (
-        make_bloom_contains_udf(spark, bloom)
-        if bloom is not None
-        else make_cuckoo_contains_udf(spark, cuckoo)
-    )
     tagged = cands.withColumn("__hit", might(F.xxhash64(F.col(url_col))))
     definitely_new = tagged.where(~F.col("__hit")).drop("__hit")
     maybe_seen = tagged.where(F.col("__hit")).drop("__hit")

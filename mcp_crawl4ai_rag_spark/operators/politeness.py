@@ -35,11 +35,47 @@ def with_host_and_path(df: DataFrame, url_col: str = "url") -> DataFrame:
     ).withColumn("path", F.regexp_extract(F.col(url_col), PATH_RE, 1))
 
 
-def robots_allowed(df: DataFrame, robots: DataFrame, url_col: str = "url") -> DataFrame:
+def build_robots_rules(robots: DataFrame) -> DataFrame:
+    """Collapse the robots rules table to one array per host, with
+    wildcard rules pre-translated to ^-anchored regexes — the broadcast
+    side of robots_allowed. Build (and cache()) ONCE for a static rules
+    table: a long-running crawl re-evaluates robots every round, and the
+    tiny groupBy shuffle + regex translation need not repeat."""
+    # ^-anchored regex for wildcard rules: escape specials, * -> .*,
+    # a trailing $ (escaped to \$ by the first pass) becomes the anchor
+    esc = F.regexp_replace(
+        F.col("path_prefix"), r"([.\\+?\[\](){}|^$])", r"\\$1"
+    )
+    body = F.replace(esc, F.lit("*"), F.lit(".*"))
+    anchored = F.when(
+        F.col("path_prefix").endswith("$"),
+        F.concat(F.lit("^"), F.regexp_replace(body, r"\\\$$", ""), F.lit("$")),
+    ).otherwise(F.concat(F.lit("^"), body))
+    is_re = F.col("path_prefix").contains("*") | F.col("path_prefix").endswith("$")
+    return robots.groupBy("host").agg(
+        F.collect_list(
+            F.struct(
+                F.col("path_prefix").alias("prefix"),
+                F.col("rule_type").alias("rtype"),
+                is_re.alias("is_re"),
+                anchored.alias("pattern"),
+            )
+        ).alias("__rules")
+    )
+
+
+def robots_allowed(
+    df: DataFrame,
+    robots: DataFrame | None = None,
+    url_col: str = "url",
+    prebuilt_rules: DataFrame | None = None,
+) -> DataFrame:
     """Keep rows whose URL passes robots evaluation.
 
     df must carry host/path columns (use with_host_and_path). robots:
     (host, rule_type, path_prefix, crawl_delay) — small → broadcast.
+    Pass ``prebuilt_rules`` (build_robots_rules output, ideally cached)
+    to skip rebuilding the rules aggregation per call.
     RFC 9309 matching: ``*`` matches any char run, a trailing ``$``
     anchors the rule to the path end; most-specific (longest-pattern)
     match wins; no matching rule ⇒ allow; equal-length conflicts resolve
@@ -52,30 +88,8 @@ def robots_allowed(df: DataFrame, robots: DataFrame, url_col: str = "url") -> Da
     ONCE at broadcast-build time; plain prefix rules (the common case)
     keep the cheap ``startswith`` probe.
     """
-    # ^-anchored regex for wildcard rules: escape specials, * -> .*,
-    # a trailing $ (escaped to \$ by the first pass) becomes the anchor
-    esc = F.regexp_replace(
-        F.col("path_prefix"), r"([.\\+?\[\](){}|^$])", r"\\$1"
-    )
-    body = F.replace(esc, F.lit("*"), F.lit(".*"))
-    anchored = F.when(
-        F.col("path_prefix").endswith("$"),
-        F.concat(F.lit("^"), F.regexp_replace(body, r"\\\$$", ""), F.lit("$")),
-    ).otherwise(F.concat(F.lit("^"), body))
-    is_re = F.col("path_prefix").contains("*") | F.col("path_prefix").endswith("$")
-    rules_by_host = F.broadcast(
-        robots.groupBy("host").agg(
-            F.collect_list(
-                F.struct(
-                    F.col("path_prefix").alias("prefix"),
-                    F.col("rule_type").alias("rtype"),
-                    is_re.alias("is_re"),
-                    anchored.alias("pattern"),
-                )
-            ).alias("__rules")
-        )
-    )
-    joined = df.join(rules_by_host, "host", "left")
+    rules = prebuilt_rules if prebuilt_rules is not None else build_robots_rules(robots)
+    joined = df.join(F.broadcast(rules), "host", "left")
     matches = F.filter(
         F.transform(
             F.col("__rules"),
@@ -165,16 +179,16 @@ def budgeted_pop(
 
     Plan shape (two branches, union into one shuffle-free global top-k):
 
-    - **Unbudgeted bypass.** For a host with no budget row (no politeness
-      limit), the per-host rank filter is an identity — every row is
-      eligible. Those rows skip BOTH window shuffles and flow straight
-      into the final ``orderBy().limit()``, which compiles to
-      TakeOrderedAndProject (per-partition heaps over the scan, no
-      exchange). The test is a broadcast-join null check — no extra scan,
-      no extra job (an earlier counts-based variant also bypassed
-      under-budget hosts, but its per-host count aggregate cost an extra
-      O(pending) scan + broadcast per round, a bad trade for the engine's
-      small per-round batches).
+    - **Non-binding bypass.** For a host with no budget row (no
+      politeness limit) — or one whose floor(tokens) >= batch_size, which
+      provably cannot constrain the global top-k (see inline proof) —
+      the per-host rank filter is an identity. Those rows skip BOTH
+      window shuffles and flow straight into the final
+      ``orderBy().limit()``, which compiles to TakeOrderedAndProject
+      (per-partition heaps over the scan, no exchange). When NO budget
+      binds (the common fast path — e.g. every host under its burst
+      capacity), the join and union vanish entirely and the pop is a
+      single-scan top-k.
     - **Budgeted hosts** (the genuinely rate-limited ones) go through the
       salted pre-prune + exact window: a naive per-host window puts a
       host holding 50% of the frontier into ONE task, so rank first
@@ -194,7 +208,31 @@ def budgeted_pop(
     budgets = hosts.select(
         "host", F.floor(F.col("tokens")).cast("long").alias("__budget")
     )
-    tagged = pending.join(F.broadcast(budgets), "host", "left")
+    # Only budgets that can BIND this round matter. A host with
+    # floor(tokens) >= batch_size is unconstrained: its host-rank filter
+    # (rank <= budget) cannot change the global top-k, because a same-host
+    # row with host-rank r > batch_size has >= batch_size better same-host
+    # rows ahead of it in the SAME (priority DESC, seq ASC) order the
+    # global top-k uses — it can never be emitted anyway. So such hosts
+    # take the bypass, and the windows only ever shuffle rows of
+    # genuinely rate-limited hosts. Collecting the binding set through the
+    # driver costs nothing extra at any scale: the broadcast hash join
+    # below pulls the budgets table through the driver regardless — this
+    # is the same data path with the non-binding majority dropped.
+    binding = budgets.where(F.col("__budget") < batch_size).collect()
+    w_global = Window.orderBy(F.desc("priority"), F.asc("seq"))
+    if not binding:
+        # nothing binds: the pop IS the global top-k — one scan, no join,
+        # no union; compiles to TakeOrderedAndProject (per-partition heaps)
+        return (
+            pending.orderBy(F.desc("priority"), F.asc("seq"))
+            .limit(batch_size)
+            .withColumn("pop_rank", F.row_number().over(w_global))
+        )
+    bud = pending.sparkSession.createDataFrame(
+        binding, "host string, __budget long"
+    )
+    tagged = pending.join(F.broadcast(bud), "host", "left")
     bypass = tagged.where(F.col("__budget").isNull()).drop("__budget")
 
     keep_k = F.least(F.col("__budget"), F.lit(batch_size))
@@ -214,7 +252,6 @@ def budgeted_pop(
         .where(F.col("__hrank") <= F.col("__budget"))
         .drop("__budget", "__hrank")
     )
-    w_global = Window.orderBy(F.desc("priority"), F.asc("seq"))
     return (
         bypass.unionByName(eligible)
         .orderBy(F.desc("priority"), F.asc("seq"))
