@@ -1049,6 +1049,31 @@ class CrawlEngine:
         for fut in futures:
             fut.result()
         _ph["commits_join"] = _time.perf_counter() - _t
+        if self.compact_every and self.round_id % self.compact_every == 0:
+            # bin-pack the append-only tables' per-round files (Iceberg
+            # rewrite_data_files, SnapshotTable.compact_tail): each table
+            # gains one small file per round, and fetched is re-read every
+            # round by the seen-side union — unfolded, reader file counts
+            # grow O(rounds) (the late-round drift measured in
+            # BENCH/BASELINE.md's 200k-page run). Tail-only fold ⇒
+            # amortized O(batch) per round; runs after the commit barrier
+            # so this round's appends are durable, before the checkpoint
+            # so the folded versions are the pinned ones.
+            _t = _time.perf_counter()
+            fold = [
+                (self.fetched_tbl, "frontier_fetched"),
+                (self.documents_tbl, "documents"),
+                (self.metrics_tbl, "metrics"),
+            ]
+            if self.track_link_graph:
+                fold.append((self.edges_tbl, "link_edges"))
+            for tbl, name in fold:
+                info = tbl.compact_tail(
+                    self.spark, parent_version=self.versions.get(name)
+                )
+                if info is not None:
+                    self.versions[name] = info.version
+            _ph["compact_tail"] = _time.perf_counter() - _t
         _t = _time.perf_counter()
         self._save_checkpoint()
         _ph["ckpt"] = _time.perf_counter() - _t
@@ -1060,6 +1085,14 @@ class CrawlEngine:
             self.pending_tbl.expire_snapshots(keep=self.snapshot_keep)
             self.pending_delta_tbl.expire_snapshots(keep=self.snapshot_keep)
             self.hosts_tbl.expire_snapshots(keep=self.snapshot_keep)
+            # append-only tables: before compact_tail existed, expiry was a
+            # no-op here (every dir stayed referenced by the current
+            # manifest); now it GCs the folded-away per-round files
+            self.fetched_tbl.expire_snapshots(keep=self.snapshot_keep)
+            self.documents_tbl.expire_snapshots(keep=self.snapshot_keep)
+            self.metrics_tbl.expire_snapshots(keep=self.snapshot_keep)
+            if self.track_link_graph:
+                self.edges_tbl.expire_snapshots(keep=self.snapshot_keep)
             _ph["expire"] = _time.perf_counter() - _t
         popped.unpersist()
         enriched.unpersist()

@@ -168,17 +168,18 @@ class SnapshotTable:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(path)
         if mode == "append" and cur is not None:
-            base = (
-                self._manifest(parent_version)["paths"]
-                if parent_version is not None
-                else cur.paths
+            parent_m = self._manifest(
+                parent_version if parent_version is not None else cur.version
             )
-            paths = list(base) + [path]
+            paths = list(parent_m["paths"]) + [path]
+            folded = parent_m.get("folded", 1)
         else:
             paths = [path]
+            folded = 1
         manifest = {
             "version": new_v,
             "paths": paths,
+            "folded": folded,
             "schema": df.schema.json(),
             "committed_at": time.time(),
             "extra": extra or {},
@@ -191,6 +192,80 @@ class SnapshotTable:
             json.dump(manifest, f)
         os.replace(tmp, self.manifest_path)  # atomic pointer swap
         return SnapshotInfo(new_v, paths, extra or {})
+
+    def compact_tail(
+        self,
+        spark: SparkSession,
+        min_tail: int = 2,
+        max_base: int = 8,
+        target_files: int = 1,
+        parent_version: int | None = None,
+    ) -> SnapshotInfo | None:
+        """Bin-pack trailing fast-append files — Iceberg's
+        ``rewrite_data_files`` (bin-pack strategy) on plain parquet.
+
+        A fast-append lineage adds one small data dir per commit, so every
+        reader opens O(commits) files; on the crawl's append-only tables
+        (fetched, documents, link edges, metrics) that is one file per
+        round, read back each round by the seen-side union — the file-count
+        drift measured in BENCH/BASELINE.md's 200k-page run. This folds
+        ONLY the dirs appended since the last fold (the tail) into
+        ``target_files`` coalesced files: amortized O(tail rows), never a
+        full-table rewrite. The manifest's ``folded`` counter marks how
+        many leading paths are fold outputs; appends carry it forward.
+
+        Geometric escalation (LSM-style): when the folded prefix itself
+        reaches ``max_base`` dirs, the whole lineage is folded once —
+        total rewrite work stays O(N · log N / min_tail) over the table's
+        life and the live file count stays bounded at
+        ``max_base + compact-interval`` dirs regardless of round count.
+
+        Content-preserving (same row multiset ⇒ resume/time-travel
+        semantics hold); returns None (no new version) when the tail is
+        shorter than ``min_tail``. ``parent_version`` pins the lineage to
+        fold, like ``commit`` — orphan commits from a torn round stay out.
+        ``target_files`` sizes the fold output; at cluster scale derive it
+        from tail bytes / target file size rather than the default 1.
+        """
+        from pyspark.sql.types import StructType
+
+        cur = self.current()
+        if cur is None:
+            return None
+        cur_v = cur.version
+        m = self._manifest(parent_version if parent_version is not None else cur_v)
+        paths = list(m["paths"])
+        folded = m.get("folded", 1)
+        full = folded >= max_base
+        tail = paths[folded:]
+        if (not full and len(tail) < min_tail) or len(paths) <= 1:
+            return None
+        read_paths = paths if full else tail
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        df = spark.read.schema(schema).parquet(*read_paths).coalesce(target_files)
+        new_v = cur_v + 1
+        path = os.path.join(self.dir, f"d{new_v}")
+        df.write.mode("overwrite").parquet(path)
+        new_paths = [path] if full else paths[:folded] + [path]
+        manifest = {
+            "version": new_v,
+            "paths": new_paths,
+            "folded": 1 if full else folded + 1,
+            "schema": m["schema"],
+            "committed_at": time.time(),
+            "extra": {
+                "compacted": "full" if full else "tail",
+                "folded_dirs": len(read_paths),
+            },
+        }
+        mpath = os.path.join(self.dir, f"m{new_v}.json")
+        with open(mpath, "w") as f:
+            json.dump(manifest, f)
+        tmp = self.manifest_path + f".tmp.{os.getpid()}.{time.time_ns()}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self.manifest_path)  # atomic pointer swap
+        return SnapshotInfo(new_v, new_paths, manifest["extra"])
 
     def commit_rows(
         self,
@@ -283,17 +358,18 @@ class SnapshotTable:
         os.makedirs(path, exist_ok=True)
         pq.write_table(table, os.path.join(path, "part-00000.parquet"))
         if mode == "append" and cur is not None:
-            base = (
-                self._manifest(parent_version)["paths"]
-                if parent_version is not None
-                else cur.paths
+            parent_m = self._manifest(
+                parent_version if parent_version is not None else cur.version
             )
-            paths = list(base) + [path]
+            paths = list(parent_m["paths"]) + [path]
+            folded = parent_m.get("folded", 1)
         else:
             paths = [path]
+            folded = 1
         manifest = {
             "version": new_v,
             "paths": paths,
+            "folded": folded,
             "schema": struct.json(),
             "committed_at": time.time(),
             "extra": extra or {},

@@ -53,3 +53,59 @@ def test_expiry_bounds_pending_dirs_and_resume(spark, tmp_path):
     assert n_before > 0
     resumed.run(max_rounds=50)
     assert resumed.documents().count() >= n_before * 0  # completes cleanly
+
+
+def test_engine_tail_compaction_bounds_live_files(spark, tmp_path):
+    """With compact_tail wired into the round path, the append-only tables'
+    LIVE data-dir count stays bounded (folded prefix + current tail) instead
+    of O(rounds), and a crawl with frequent folds drains to the same
+    frontier state as one that never folds (content-preserving)."""
+    web = generate_web(seed=29, n_hosts=4, n_pages=80, n_seeds=2)
+    hosts = spark.createDataFrame(
+        [(h, 1e9, 1e9) for h, _, _ in web.hosts],
+        "host string, capacity double, refill_rate double",
+    )
+
+    def run(wd, compact_every, keep):
+        eng = CrawlEngine(
+            spark,
+            web.corpus_df(spark),
+            web.robots_df(spark),
+            hosts,
+            wd,
+            batch_size=8,
+            max_attempts=3,
+            compact_every=compact_every,
+            snapshot_keep=keep,
+        )
+        eng.seed(web.seeds)
+        eng.run(max_rounds=30)
+        return eng
+
+    folded = run(str(tmp_path / "fold"), compact_every=2, keep=2)
+    plain = run(str(tmp_path / "plain"), compact_every=1000, keep=0)
+
+    rounds = folded.round_id
+    assert rounds >= 8
+    # manifest path count bounded by folded prefix + tail, not O(rounds)
+    n_paths = len(folded.fetched_tbl.current().paths)
+    assert n_paths <= rounds // 2 + 3, n_paths
+    # expiry GC'd the folded-away per-round files: on-disk dirs bounded too
+    assert (
+        count_data_dirs(str(tmp_path / "fold"), "frontier_fetched")
+        < count_data_dirs(str(tmp_path / "plain"), "frontier_fetched")
+    )
+    # content equality: identical final seen set and per-url states
+    f_state = {
+        (r["url"], r["state"]) for r in folded.frontier().collect()
+    }
+    p_state = {
+        (r["url"], r["state"]) for r in plain.frontier().collect()
+    }
+    assert f_state == p_state
+    # resume from a post-fold checkpoint works and sees the folded tables
+    resumed = CrawlEngine.resume(
+        spark, web.corpus_df(spark), web.robots_df(spark),
+        str(tmp_path / "fold"), max_attempts=3,
+    )
+    assert resumed.documents().count() == folded.documents().count()

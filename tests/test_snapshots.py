@@ -181,3 +181,57 @@ def test_commit_rows_conflict_and_unsupported_type(spark, tmp_path):
         t.commit_rows([(2,)], "a int", expected_version=0)
     with pytest.raises(ValueError):
         t.commit_rows([], "a array<int>")
+
+
+def test_compact_tail_folds_tail_preserving_content(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path), "t")
+    t.commit(spark.range(0, 5))
+    for lo in range(5, 25, 5):
+        t.commit(spark.range(lo, lo + 5), mode="append")
+    assert len(t.current().paths) == 5
+    info = t.compact_tail(spark)
+    assert info is not None and len(info.paths) == 2  # base + one fold dir
+    assert sorted(r["id"] for r in t.read(spark).collect()) == list(range(25))
+    # manifest marks the folded prefix; appends carry it forward
+    assert t._manifest(info.version)["folded"] == 2
+    t.commit(spark.range(25, 30), mode="append")
+    assert t._manifest(t.current().version)["folded"] == 2
+    assert sorted(r["id"] for r in t.read(spark).collect()) == list(range(30))
+
+
+def test_compact_tail_noop_below_min_tail(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path), "t")
+    t.commit(spark.range(3))
+    assert t.compact_tail(spark) is None  # no tail at all
+    t.commit(spark.range(3, 4), mode="append")
+    assert t.compact_tail(spark, min_tail=2) is None  # tail of 1 < min_tail
+    assert t.read(spark).count() == 4
+
+
+def test_compact_tail_geometric_full_fold(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path), "t")
+    t.commit(spark.range(0, 2))
+    n = 2
+    for _ in range(3):
+        for _ in range(2):
+            t.commit(spark.range(n, n + 2), mode="append")
+            n += 2
+        info = t.compact_tail(spark, min_tail=2, max_base=3)
+        assert info is not None
+    m = t._manifest(t.current().version)
+    # third fold saw folded == max_base → full fold down to a single dir
+    assert m["folded"] == 1 and len(m["paths"]) == 1
+    assert sorted(r["id"] for r in t.read(spark).collect()) == list(range(n))
+
+
+def test_compact_tail_time_travel_and_commit_rows_lineage(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path), "t")
+    t.commit_rows([(1, "a")], "k int, v string")
+    t.commit_rows([(2, "b")], "k int, v string", mode="append")
+    t.commit_rows([(3, "c")], "k int, v string", mode="append")
+    info = t.compact_tail(spark, min_tail=2)
+    assert info is not None
+    got = sorted((r["k"], r["v"]) for r in t.read(spark).collect())
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
+    # pre-fold version still time-travels (until expiry)
+    assert t.read(spark, version=info.version - 1).count() == 3
