@@ -98,16 +98,37 @@ def main() -> None:
         F.lit(0).alias("priority"),
         F.col("doc_id").alias("seq"),
     )
+    # 4a. no budget binds (floor(tokens) >= batch for every host): the
+    # binding-only fast path is a single-scan top-k — no join, no window
+    # shuffle at all
     hosts = spark.createDataFrame(
         [("h0.com", 10.0, 5.0, 10.0)],
         "host string, capacity double, refill_rate double, tokens double",
     )
     sections.append(
         (
-            "Frontier pop (W1): salted window pre-prune + TakeOrderedAndProject",
-            "Two bounded windows (host,salt) then (host); the global top-k is "
-            "a TakeOrderedAndProject, not a total sort.",
+            "Frontier pop (W1) fast path: no binding budget",
+            "Every host's floor(tokens) >= batch_size, so no per-host rank "
+            "filter can change the global top-k: the pop collapses to ONE "
+            "TakeOrderedAndProject over the scan — no join, no window "
+            "shuffles, no union.",
             grab(budgeted_pop(pending, hosts, 10)),
+        )
+    )
+    # 4b. a budget binds: bypass branch unions with the salted pre-prune +
+    # exact per-host window over only the rate-limited hosts' rows
+    hosts_binding = spark.createDataFrame(
+        [("h0.com", 10.0, 5.0, 3.0)],
+        "host string, capacity double, refill_rate double, tokens double",
+    )
+    sections.append(
+        (
+            "Frontier pop (W1) budgeted branch: salted window pre-prune + TakeOrderedAndProject",
+            "One host's budget binds (floor(tokens)=3 < batch=10): its rows "
+            "go through two bounded windows (host,salt) then (host); "
+            "unbudgeted hosts bypass both shuffles; the global top-k is a "
+            "TakeOrderedAndProject, not a total sort.",
+            grab(budgeted_pop(pending, hosts_binding, 10)),
         )
     )
 
