@@ -8,7 +8,7 @@ candidate stream with hot-host skew:
   → canonicalize (vectorized pandas UDF)
   → malformed filter (Column predicates)
   → robots broadcast join (longest-prefix)
-  → bloom prefilter + exact anti-join vs the seen set
+  → exact anti-join vs the pre-partitioned seen set
   → per-host politeness window rank + global top-k pop
 
 Prints ONE JSON line:
@@ -85,7 +85,7 @@ def run_schedule_bench(
     n_candidates: int,
     n_seen: int,
     batch_size: int = 10_000,
-    use_bloom: bool = True,
+    use_bloom: bool | None = None,
 ) -> dict:
     from mcp_crawl4ai_rag_spark.functions.urls import canonicalize_url, is_malformed
     from mcp_crawl4ai_rag_spark.operators.dedup import build_bloom, new_urls
@@ -110,6 +110,19 @@ def run_schedule_bench(
         .cache()
     )
     seen.count()
+    # Dedup path: plain anti-join by default. Measured A/B at this
+    # workload (32M candidates vs 16M pre-partitioned+sorted cached seen,
+    # pinned cores, steady-state): bloom-prefiltered new_urls 168.3 s
+    # (1 core) / 59.2 s (4 cores) vs plain anti-join 73.9 s / 27.8 s —
+    # the two Python/Arrow probe passes cost ~2x more than the candidate
+    # shuffle volume they save, because the seen side never re-exchanges
+    # (pre-partitioned cache = bucketed-table analogue) so the join is
+    # already O(batch). The bloom/cuckoo prefilter remains the right shape
+    # for the crawl-round regime (probe_broadcast=True: bounded candidate
+    # batch vs a 10^10-row seen table you don't want to scan/broadcast) —
+    # see new_urls docstring. SPARK_GRAFT_BENCH_BLOOM=1 re-enables it here.
+    if use_bloom is None:
+        use_bloom = os.environ.get("SPARK_GRAFT_BENCH_BLOOM", "0") == "1"
     bloom = None
     if use_bloom:
         # ~16 bits/key (k=7 → FP well under 0.1%), power of two, bounded
@@ -160,7 +173,8 @@ def run_schedule_bench(
             allowed.write.mode("overwrite").parquet(f"{stage_dir}/candidates")
             t_canon = time.time() - t1
 
-            # phase 2: bloom-prefiltered dedup vs seen → admitted snapshot
+            # phase 2: exact anti-join dedup vs seen → admitted snapshot
+            # (seen pre-partitioned+sorted: only candidates exchange)
             t2 = time.time()
             cand_stored = spark.read.parquet(f"{stage_dir}/candidates")
             fresh = new_urls(cand_stored, seen, bloom=bloom, spark=spark)
@@ -205,13 +219,31 @@ def run_schedule_bench(
     # IDENTICAL plan at 1/8 size — same codegen units, same UDF workers,
     # same shuffle/write paths — so it stays cheap at the scaling bench's
     # 32M-candidate single-core legs (SPARK_GRAFT_BENCH_WARMUP=0 skips).
+    def drain_shuffle_state() -> None:
+        # Shuffle files + map-output-tracker state from finished jobs are
+        # only released when the ContextCleaner sees their references
+        # collected — i.e. on a DRIVER GC, which a mostly-empty 24g heap
+        # may not run for the whole bench. The stale state measurably
+        # inflates LATER shuffle stages: at 4 pinned cores the dedup
+        # anti-join runs 24-27 s in a clean session but 34-70 s after the
+        # warmup run's shuffles are left live; a forced GC restores 26.9 s
+        # (canon, map-only, is unaffected). A long-lived cluster's driver
+        # GCs naturally between jobs — the bench compresses that cadence
+        # to per-run. Untimed: runs between phases, never inside them.
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(1)
+
     if os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0":
         warm = one_run(max(n_candidates // 8, 200_000))
         print(f"warmup (untimed, 1/8 size): {warm['pipeline_sec']:.2f}s", file=sys.stderr)
+        drain_shuffle_state()
     # best-of-3 by default: pipeline runs are ~11 s at sf0.1 and this
     # box's run-to-run spread is large (205-530k urls/s observed)
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-    runs = [one_run() for _ in range(max(1, n_runs))]
+    runs = []
+    for _ in range(max(1, n_runs)):
+        runs.append(one_run())
+        drain_shuffle_state()
     for i, r in enumerate(runs):
         print(
             f"run{i}: canon={r['t_canon']:.2f} dedup={r['t_dedup']:.2f} "

@@ -460,6 +460,18 @@ def new_urls(
     The prefilter only shrinks the probe/join: a bloom/cuckoo miss is
     proof-of-new (no deletes / overflow-checked), a hit is resolved
     exactly, so output is exact either way.
+
+    When to pass a prefilter (measured, pinned cores, steady state, 32M
+    candidates vs 16M pre-partitioned+sorted cached seen): in the
+    bulk-ingest shape the bloom path costs 168.3 s (1 core) / 59.2 s
+    (4 cores) vs 73.9 s / 27.8 s for the plain anti-join — the TWO
+    Python/Arrow probe passes (the `tagged` split evaluates the UDF once
+    per branch) outweigh the candidate shuffle volume they save once the
+    seen side is pre-partitioned (no per-batch seen exchange either way).
+    Pass bloom/cuckoo only where the prefilter removes work the join
+    cannot avoid: the probe_broadcast crawl-round regime (shrinks the
+    broadcast probe set before the full seen scan), or when the seen side
+    is NOT pre-partitioned and hit-rate is low.
     """
     cands = candidates.dropDuplicates([url_col])
     might = None

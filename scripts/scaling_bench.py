@@ -78,7 +78,8 @@ def main() -> None:
 
 North metric (BASELINE.json): **URLs scheduled+deduped/sec** through the
 full admission pipeline — canonicalize (pandas UDF) → malformed filter →
-robots broadcast join → bloom-prefiltered anti-join dedup → per-host
+robots broadcast join → exact anti-join dedup (pre-partitioned seen) →
+per-host
 politeness window pop — on a synthetic candidate stream with hot-host skew
 (50% of URLs on one host), ~4% malformed, ~50% already-seen.
 
@@ -106,7 +107,7 @@ per level control shared-machine variance.
 | phase | N={n_low} sec | 4N={n_high} sec | speedup |
 |---|---|---|---|
 | canonicalize + malformed + robots | {low["canon_sec"]} | {high["canon_sec"]} | {low["canon_sec"] / high["canon_sec"]:.2f}x |
-| bloom + anti-join dedup | {low["dedup_sec"]} | {high["dedup_sec"]} | {low["dedup_sec"] / high["dedup_sec"]:.2f}x |
+| anti-join dedup (pre-partitioned seen) | {low["dedup_sec"]} | {high["dedup_sec"]} | {low["dedup_sec"] / high["dedup_sec"]:.2f}x |
 | politeness pop (salted) | {low["pop_sec"]} | {high["pop_sec"]} | {low["pop_sec"] / high["pop_sec"]:.2f}x |
 
 ## What closed the round-2 FAIL (0.76 → this round)
@@ -132,6 +133,18 @@ plan doesn't need:
   value at both levels (previously 2/core, so the two levels ran
   different plans).
 
+## Round-4 change: bloom prefilter dropped from the bulk dedup path
+
+With the seen side pre-partitioned, the anti-join already exchanges only
+the candidate batch; the bloom's two Python/Arrow probe passes then cost
+more than the shuffle volume they save. Measured A/B (pinned cores,
+steady state, 32M vs 16M): bloom path 168.3 s (1 core) / 59.2 s (4
+cores); plain anti-join 73.9 s / 27.8 s — >2x faster at both levels.
+The pipeline now runs the plain anti-join (SPARK_GRAFT_BENCH_BLOOM=1
+re-enables the old path); the bloom/cuckoo prefilter remains in the
+crawl-round probe_broadcast path, where it shrinks a broadcast probe set
+against a seen table too large to scan per batch.
+
 ## Hardware ceiling context
 
 This container reports 32 CPUs but measured raw capacity does not scale
@@ -142,7 +155,7 @@ therefore reported at N={n_low} → 4N={n_high} pinned cores, where the hardware
 itself is not the bottleneck — matching the criterion's intent (the
 job's *own* scalability: no serial stages, no skew collapse). The hot
 host (50% of candidates) is spread by the salted pre-prune in
-budgeted_pop; the dedup anti-join shuffles only bloom-hit candidates.
+budgeted_pop; the dedup anti-join exchanges only the candidate batch.
 The 10^10 design point runs the identical plan on 1000 multi-core
 executors.
 

@@ -63,6 +63,48 @@ def test_canonicalize_matches_oracle(spark):
     assert got == want
 
 
+def test_canonicalize_spark_matches_batch_kernel(spark):
+    """The Spark-side canonicalizer must be row-for-row identical to the
+    pandas kernel (hence to the urlparse oracle) across fast, hard, and
+    pathological shapes: path params, no scheme, scheme-relative, trailing
+    CR/LF (regex `$` end-of-line divergence class), non-ASCII
+    (locale-casing divergence class), userinfo/port, nulls. Guards any
+    future reimplementation (e.g. a JVM fast path) against these classes —
+    a JVM-expression hybrid was tried and measured SLOWER (expression
+    duplication into downstream filter references multiplies the embedded
+    fallback-UDF evaluation), so the pandas UDF stands."""
+    import pandas as pd
+
+    edge = [
+        "https://A.com/P;Params=1?q#f",  # ';' in path → UDF fallback
+        "//scheme.relative/Path/",  # no scheme → fallback
+        "not a url at all",
+        "mailto:Someone@Example.com",
+        "https://a.com/Trailing///",
+        "HTTPS://u:P@HOST.com:8080/Path?q=1#f",
+        "https://h.com/a//b//",
+        "",
+        "https://a.com/b\n",  # trailing LF: fast in pandas, hard in JVM
+        "https://a.com/b/\n",  # trailing '/' before LF — rstrip divergence class
+        "https://a.com/b\r",  # trailing CR: Java $ would match, \\z must not
+        "https://a.com#x\r",
+        "https://a.com/b\tc",
+        "https://BÜCHER.example/Straße/",  # non-ASCII → fallback (casing)
+        "https://a.com/İstanbul",  # U+0130 lowercases to 2 codepoints
+        "https://a.com/?",
+        "https://a.com/#",
+        "https://a.com/%2FEncoded/",
+        None,
+    ]
+    urls = CASES + edge
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [
+        r["c"] for r in df.select(U.canonicalize_url(F.col("url")).alias("c")).collect()
+    ]
+    want = U.canonicalize_batch(pd.Series(urls, dtype=object)).tolist()
+    assert got == [None if w is None or w != w else w for w in want]
+
+
 def test_malformed_matches_oracle(spark):
     df = spark.createDataFrame([(u,) for u in CASES], ["url"])
     got = {
