@@ -280,7 +280,7 @@ def time_queries(spark: SparkSession, sf_dir: str) -> dict:
 
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_QUERY_RUNS", "2")))
     out = {}
-    for name, fn in entrymod.queries().items():
+    for qi, (name, fn) in enumerate(entrymod.queries().items()):
         best = None
         for _ in range(n_runs):
             t = time.time()
@@ -293,6 +293,15 @@ def time_queries(spark: SparkSession, sf_dir: str) -> dict:
         # n_runs of leaked executor storage OOMs a single local JVM.
         # A long-lived cluster unpersists per query; emulate that here.
         spark.catalog.clearCache()
+        # Stale shuffle state from earlier queries measurably inflates
+        # later shuffle-heavy ones (same mechanism as the pipeline's
+        # drain_shuffle_state: ContextCleaner frees shuffle files only on
+        # driver GC; observed text_repetition 3.1 s clean vs 17.8 s after
+        # ~30 queries of accumulated state). Drain every few queries —
+        # untimed, between queries, never inside a timed run.
+        if qi % 4 == 3:
+            spark.sparkContext._jvm.System.gc()
+            time.sleep(0.5)
     return out
 
 
