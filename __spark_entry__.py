@@ -1001,6 +1001,32 @@ def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_winnow_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The md5-hasher winnowing variant with a FULL DuckDB oracle: char
+    k-gram md5 hashes + rightmost-window-min selection are recomputed
+    exactly in SQL (substr/md5/hex-cast/windowed min with a position-
+    packed tie rule) — so this entry hash-certifies the winnowing
+    selection rule and the whole postings→guard→pair-join pipeline that
+    the faster rolling-poly `dedup_winnow` entry (rows-only: wraparound
+    uint64 isn't SQL-expressible) shares. Same fixture: documents ∪
+    one-word mutants."""
+    from mcp_crawl4ai_rag_spark.operators.dedup import winnow_near_duplicates
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 7 == 0)
+    mutated = d.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.regexp_replace(F.col("text"), r"^(\S+)", "MUTATED").alias("text"),
+    )
+    both = d.select("doc_id", "text").unionByName(mutated)
+    return (
+        winnow_near_duplicates(
+            both, "text", "doc_id", min_shared=3, max_df=20, hasher="md5"
+        )
+        .where(F.col("overlap") >= 0.5)
+        .select("id_a", "id_b", "shared", "overlap")
+    )
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup via sign-random-projection buckets +
     exact verify, over embeddings ∪ slightly-perturbed copies. The DuckDB
@@ -1285,6 +1311,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c3_media_chunker": q_c3_media_chunker,
         "dedup_simhash": q_dedup_simhash,
         "dedup_winnow": q_dedup_winnow,
+        # oracled (hash-checked in scripts/check_entry.py + the local
+        # typed gate) but intentionally AFTER the driver's 50-entry
+        # window so the recorded set stays byte-stable across rounds
+        "dedup_winnow_md5": q_dedup_winnow_md5,
         "ivf_ann": q_ivf_ann,
         "ivf_index": q_ivf_index,
         "multimodal_decode": q_multimodal_decode,
@@ -2151,6 +2181,65 @@ def oracle_sql() -> dict[str, str]:
                    + bit_count(xor(a.lo, b.lo)) AS INT) AS hamming
             FROM sig a JOIN sig b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 5
+        """,
+        "dedup_winnow_md5": r"""
+            -- exact recomputation of md5 char-gram winnowing (k=8,
+            -- window=6, 40-bit hashes = first 10 md5 hex chars) + the
+            -- full postings -> max_df guard -> pair-join pipeline.
+            -- Rightmost-min selection: pack = hash * 2^20 +
+            -- (2^20 - 1 - position) so MIN(pack) prefers the smallest
+            -- hash and, on ties, the largest position — identical to
+            -- functions/text.winnow_fingerprints_md5. Window starts are
+            -- filtered AFTER the window function (a WHERE before it
+            -- would truncate end-of-doc frames).
+            WITH base AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0),
+            both_docs AS (
+              SELECT doc_id, text FROM base
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id,
+                     regexp_replace(text, '^(\S+)', 'MUTATED') AS text
+              FROM base),
+            norm AS (
+              SELECT doc_id,
+                     regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+              FROM both_docs),
+            g AS (
+              SELECT doc_id, t,
+                unnest(range(0, least(length(t) - 8 + 1, 1048575)::BIGINT)) AS i
+              FROM norm WHERE length(t) >= 8),
+            h AS (
+              SELECT doc_id, i, length(t) - 8 + 1 AS m,
+                ('0x' || substr(md5(substr(t, (i + 1)::INT, 8)), 1, 10))::BIGINT
+                  * 1048576 + (1048575 - i) AS p
+              FROM g),
+            wins AS (
+              SELECT doc_id, i, m,
+                min(p) OVER (PARTITION BY doc_id ORDER BY i
+                             ROWS BETWEEN CURRENT ROW AND 5 FOLLOWING) AS mp
+              FROM h),
+            postings AS (
+              SELECT DISTINCT doc_id, mp // 1048576 AS fp
+              FROM wins WHERE i <= greatest(m - 6, 0)),
+            informative AS (
+              SELECT doc_id, fp FROM postings
+              WHERE fp NOT IN (
+                SELECT fp FROM postings GROUP BY fp HAVING COUNT(*) > 20)),
+            sizes AS (
+              SELECT doc_id, COUNT(*) AS n_fp FROM informative GROUP BY doc_id),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+              FROM informative a JOIN informative b
+                ON a.fp = b.fp AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+              HAVING COUNT(*) >= 3)
+            SELECT p.id_a, p.id_b, p.shared,
+                   ROUND(p.shared / CAST(LEAST(sa.n_fp, sb.n_fp) AS DOUBLE), 6)
+                     AS overlap
+            FROM pairs p
+            JOIN sizes sa ON sa.doc_id = p.id_a
+            JOIN sizes sb ON sb.doc_id = p.id_b
+            WHERE p.shared / CAST(LEAST(sa.n_fp, sb.n_fp) AS DOUBLE) >= 0.5
         """,
         "link_pagerank": _pagerank_oracle_sql(n_iter=8, damping=0.85),
         "dedup_minhash": r"""

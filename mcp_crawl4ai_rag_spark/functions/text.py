@@ -139,6 +139,84 @@ def make_winnow_udf(k: int = 8, window: int = 6):
     return winnow
 
 
+# Document-length cap for the md5 winnow variant: positions must fit the
+# oracle's 2^20 pack space (hash * 2^20 + (2^20-1-pos) in one BIGINT).
+_WINNOW_POS_BITS = 20
+
+
+def winnow_fingerprints_md5_py(
+    text: str, k: int = 8, window: int = 6, hex_chars: int = 10
+) -> list[int]:
+    """Winnowing with md5 CHARACTER-k-gram hashes (first ``hex_chars``
+    md5 hex chars as an int) over the whitespace-normalized lowercased
+    text — same rightmost-window-min selection rule and shared-substring
+    guarantee (>= k+window-1 chars) as ``winnow_fingerprints_py``, but
+    every step (substr, md5, hex→int, windowed min) is recomputable in
+    ANSI SQL, so this variant carries an exact DuckDB oracle twin
+    (`dedup_winnow_md5`), exactly as `dedup_simhash_md5` twins the
+    blake2b simhash. Returns the DISTINCT fingerprints (sorted) — the
+    postings layer dedups (id, fp) anyway and the oracle compares sets.
+
+    40-bit hashes by default: the SQL twin packs hash*2^20 + position
+    into one BIGINT for the rightmost-tie rule, so positions are capped
+    at 2^20 (docs truncated at ~1M chars; fixtures are KBs). Cross-doc
+    hash collisions don't affect the gate — both engines compute the
+    same hashes — and at 2^40 space are negligible for dedup signal.
+
+    A pure-Column implementation (transform/sequence/slice + F.md5) was
+    tried and measured ~40x SLOWER than this Arrow kernel at sf0.1
+    (~90 s vs ~2 s): higher-order-function lambdas are interpreted, not
+    codegen'd, and per-gram md5 + per-window slice copies dominate —
+    the same lesson as the JVM-hybrid canonicalizer (COVERAGE.md)."""
+    import hashlib
+    import re
+
+    import numpy as np
+
+    # cap gram count m at 2^20 - 1 (len = m + k - 1), matching the
+    # oracle's least(length(t) - k + 1, 1048575) exactly
+    s = re.sub(r"\s+", " ", (text or "").lower().strip())[
+        : (1 << _WINNOW_POS_BITS) - 2 + k
+    ]
+    if len(s) < k:
+        return []
+    md5 = hashlib.md5
+    nbytes = hex_chars // 2
+    hashes = np.fromiter(
+        (
+            int.from_bytes(md5(s[i : i + k].encode("utf-8")).digest()[:nbytes], "big")
+            for i in range(len(s) - k + 1)
+        ),
+        dtype=np.uint64,
+    )
+    m = len(hashes)
+    if m < window:
+        picks = np.array([m - 1 - int(np.argmin(hashes[::-1]))])
+    else:
+        hw = np.lib.stride_tricks.sliding_window_view(hashes, window)
+        # rightmost min per window: argmin over the reversed axis
+        rev_arg = np.argmin(hw[:, ::-1], axis=1)
+        idx = np.arange(m - window + 1) + (window - 1 - rev_arg)
+        picks = np.unique(idx)
+    return np.unique(hashes[picks]).astype(np.int64).tolist()
+
+
+def winnow_fingerprints_md5(
+    col: Column, k: int = 8, window: int = 6, hex_chars: int = 10
+) -> Column:
+    """Column wrapper for ``winnow_fingerprints_md5_py`` (Arrow-batched
+    pandas UDF, array<bigint> of distinct fingerprints)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<bigint>")
+    def winnow_md5(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: winnow_fingerprints_md5_py(t, k, window, hex_chars)
+        )
+
+    return winnow_md5(col)
+
+
 def word_shingles(col: Column, k: int = 5) -> Column:
     """Word k-shingles as an array<string> Column — the pure-JVM twin of
     the Python ``_shingle_hashes`` tokenization (operators/dedup.py):

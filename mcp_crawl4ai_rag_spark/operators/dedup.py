@@ -913,6 +913,7 @@ def winnow_near_duplicates(
     window: int = 6,
     min_shared: int = 3,
     max_df: int = 1000,
+    hasher: str = "poly",
 ) -> DataFrame:
     """Near-dup pairs via shared winnowing fingerprints (the MOSS shape):
     docs explode to (fingerprint, id) postings, the self-join on the
@@ -930,8 +931,17 @@ def winnow_near_duplicates(
     fingerprint would contribute C(df,2) pairs and carries no pair-local
     signal, exactly like common-token filtering in MinHash pipelines.
     Tune max_df down hard (10-50) on templated corpora.
+
+    hasher: 'poly' (default) = numpy rolling polynomial hash over byte
+    k-grams (the fast 100-TB kernel); 'md5' = md5 char-gram hashes (also
+    an Arrow-batched kernel) — same winnowing selection rule but
+    SQL-recomputable, so the `dedup_winnow_md5` entry carries an exact
+    DuckDB oracle for this kernel class (the `dedup_simhash_md5` trick).
     """
-    from mcp_crawl4ai_rag_spark.functions.text import make_winnow_udf
+    from mcp_crawl4ai_rag_spark.functions.text import (
+        make_winnow_udf,
+        winnow_fingerprints_md5,
+    )
 
     src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
     # the winnow UDF dominates this plan — make sure it runs on every core
@@ -939,10 +949,16 @@ def winnow_near_duplicates(
     target = df.sparkSession.sparkContext.defaultParallelism
     if src.rdd.getNumPartitions() < target:
         src = src.repartition(target, "id")
+    if hasher == "md5":
+        fps_col = winnow_fingerprints_md5(F.col("t"), k, window)
+    elif hasher == "poly":
+        fps_col = make_winnow_udf(k, window)(F.col("t"))
+    else:
+        raise ValueError(f"unknown hasher {hasher!r}")
     raw = (
         src.select(
             "id",
-            F.explode(make_winnow_udf(k, window)(F.col("t"))).alias("fp"),
+            F.explode(fps_col).alias("fp"),
         )
         .dropDuplicates(["id", "fp"])
         .cache()  # postings feed the guard, sizes, and both join sides

@@ -271,6 +271,75 @@ def test_winnow_near_duplicates(spark):
     assert a & b
 
 
+def test_winnow_md5_column_matches_reference_kernel(spark):
+    """The pure-Column md5 winnowing (functions/text.winnow_fingerprints_md5)
+    must match an independent hashlib+loop reimplementation of the same
+    selection rule on every edge class: short/boundary lengths (m == 0,
+    0 < m < window, m == window), all-equal hashes (tie-break heavy),
+    whitespace collapsing, non-ASCII, null/empty."""
+    import hashlib
+    import re
+
+    import pyspark.sql.functions as F
+
+    from mcp_crawl4ai_rag_spark.functions.text import winnow_fingerprints_md5
+
+    K, W, HX = 8, 6, 10
+
+    def ref(text):
+        t = re.sub(r"\s+", " ", (text or "").lower().strip())
+        if len(t) < K:
+            return []
+        hs = [
+            int(hashlib.md5(t[i : i + K].encode()).hexdigest()[:HX], 16)
+            for i in range(len(t) - K + 1)
+        ]
+        m = len(hs)
+        packed = [h * (1 << 20) + ((1 << 20) - 1 - i) for i, h in enumerate(hs)]
+        return sorted({min(packed[w : w + W]) >> 20 for w in range(max(m - W + 1, 1))})
+
+    texts = [
+        "hello world hello world hello",
+        "ab",
+        "",
+        None,
+        "aaaaaaaaaaaaaaaaaaaaaa",  # identical grams: rightmost-tie rule
+        "The  QUICK\tbrown\nfox  jumps over the lazy dog often " * 5,
+        "x" * 7,   # m == 0
+        "x" * 8,   # m == 1
+        "x" * 13,  # m == window
+        "päivää tämä on testi päivää tämä on",  # non-ASCII chars
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id int, t string"
+    )
+    got = {
+        r["id"]: sorted(r["fps"])
+        for r in df.select(
+            "id", winnow_fingerprints_md5(F.col("t"), K, W, HX).alias("fps")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == ref(t), f"mismatch on texts[{i}]"
+
+
+def test_winnow_near_duplicates_md5_hasher(spark):
+    """hasher='md5' runs the same postings/guard/pair pipeline over the
+    Column fingerprints: planted near-dup found, unrelated doc not paired,
+    unknown hasher rejected."""
+    import pytest
+
+    base = " ".join(f"sentence number {i} about spark shuffles." for i in range(40))
+    near = base.replace("number 20", "number twenty")
+    far = " ".join(f"totally different line {i} regarding parquet files." for i in range(40))
+    df = spark.createDataFrame([(1, base), (2, near), (3, far)], ["id", "text"])
+    pairs = D.winnow_near_duplicates(df, "text", "id", min_shared=3, hasher="md5").collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
+    assert pairs[0]["overlap"] > 0.7
+    with pytest.raises(ValueError):
+        D.winnow_near_duplicates(df, "text", "id", hasher="sha9000")
+
+
 def test_ngram_jaccard_column_matches_python_kernel(spark):
     """The pure-Column Jaccard (word_shingles + array algebra) must agree
     with the pandas-UDF/blake2b-hash kernel on every edge case: empties,
