@@ -1094,6 +1094,20 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_feature_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing embedder (hashing trick) with a FULL DuckDB oracle:
+    md5-bucketed signed token counts, L2-normalized per doc, sparse
+    (doc_id, bucket, weight) rows. Pure JVM Columns — the SQL-checkable
+    REAL featurizer next to the Gaussian-RNG neural-embedder stub
+    (`hash_embed`, rows-only by nature)."""
+    from mcp_crawl4ai_rag_spark.functions.embedding import feature_hash_embed
+
+    d = _t(spark, sf_dir, "documents")
+    return feature_hash_embed(d, "text", "doc_id", dim=16).select(
+        F.col("id").alias("doc_id"), "bucket", "weight"
+    )
+
+
 def q_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mcp_crawl4ai_rag_spark.functions.embedding import make_hash_embed_udf
 
@@ -1315,6 +1329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # typed gate) but intentionally AFTER the driver's 50-entry
         # window so the recorded set stays byte-stable across rounds
         "dedup_winnow_md5": q_dedup_winnow_md5,
+        "feature_hash_embed": q_feature_hash_embed,
         "ivf_ann": q_ivf_ann,
         "ivf_index": q_ivf_index,
         "multimodal_decode": q_multimodal_decode,
@@ -2240,6 +2255,32 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = p.id_a
             JOIN sizes sb ON sb.doc_id = p.id_b
             WHERE p.shared / CAST(LEAST(sa.n_fp, sb.n_fp) AS DOUBLE) >= 0.5
+        """,
+        "feature_hash_embed": r"""
+            -- exact recomputation of the hashing-trick featurizer:
+            -- bucket = first 8 md5 hex chars of the token mod 16, sign =
+            -- parity of the 9th hex char, signed counts L2-normalized
+            -- per doc. SUM(±1) is HUGEINT in DuckDB -> CAST to BIGINT
+            -- before the double math so the norm matches Spark exactly.
+            WITH toks AS (
+              SELECT doc_id,
+                unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                   x -> x <> '')) AS tok
+              FROM documents),
+            hashed AS (
+              SELECT doc_id,
+                ('0x' || substr(md5(tok), 1, 8))::BIGINT % 16 AS bucket,
+                CASE WHEN ('0x' || substr(md5(tok), 9, 1))::BIGINT % 2 = 0
+                     THEN 1 ELSE -1 END AS s
+              FROM toks),
+            counts AS (
+              SELECT doc_id, bucket, CAST(SUM(s) AS BIGINT) AS cnt
+              FROM hashed GROUP BY doc_id, bucket
+              HAVING CAST(SUM(s) AS BIGINT) <> 0)
+            SELECT doc_id, bucket,
+              ROUND(cnt / sqrt(SUM(cnt * cnt)
+                    OVER (PARTITION BY doc_id)), 6) AS weight
+            FROM counts
         """,
         "link_pagerank": _pagerank_oracle_sql(n_iter=8, damping=0.85),
         "dedup_minhash": r"""

@@ -63,6 +63,57 @@ def embed_query_py(query: str, dim: int = DEFAULT_DIM) -> list[float]:
     return hash_embed_py(QUERY_INSTRUCTION + query.strip(), dim)
 
 
+def feature_hash_embed(
+    df, text_col: str, id_col: str, dim: int = 64
+):
+    """Sparse feature-hashing embedding (the "hashing trick", Weinberger
+    et al. ICML'09): tokens hash to ``dim`` buckets (first 8 md5 hex
+    chars mod dim) with a ±1 sign from a second hash bit (9th hex char
+    parity), signed counts per bucket are L2-normalized per document.
+    Returns exploded sparse rows (id, bucket, weight) — only nonzero
+    buckets — rounded to 6dp.
+
+    Unlike the Gaussian-RNG ``hash_embed_py`` stub (which emulates a
+    neural embedder and is inherently non-SQL), every step here is a
+    built-in: split/explode/md5/conv/groupBy/window — pure JVM
+    whole-stage-codegen Columns, no Python, and the `feature_hash_embed`
+    entry carries an exact DuckDB oracle twin.
+
+    Scale shape: explode is a generator (no per-row Python); the signed
+    count groupBy shuffles on (id, bucket) and the norm window on id —
+    both uniform in the doc id, no hot keys; output is O(distinct
+    buckets per doc) <= dim rows per document. At 100 TB this is the
+    standard one-pass hashing-trick featurizer."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+", -1), lambda t: F.length(t) > 0
+    )
+    tok = F.explode(toks).alias("tok")
+    base = df.select(F.col(id_col).alias("id"), tok)
+    h = F.md5(F.col("tok"))
+    bucket = (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % dim).alias(
+        "bucket"
+    )
+    sign = F.when(
+        F.conv(F.substring(h, 9, 1), 16, 10).cast("long") % 2 == 0, F.lit(1)
+    ).otherwise(F.lit(-1))
+    counts = (
+        base.select("id", bucket, sign.alias("s"))
+        .groupBy("id", "bucket")
+        .agg(F.sum("s").alias("cnt"))
+        .where(F.col("cnt") != 0)
+    )
+    from pyspark.sql import Window
+
+    norm = F.sqrt(
+        F.sum(F.col("cnt") * F.col("cnt")).over(Window.partitionBy("id"))
+    )
+    return counts.select(
+        "id",
+        "bucket",
+        F.round(F.col("cnt") / norm, 6).alias("weight"),
+    )
+
+
 def cosine_sim(vec_col: Column, query: list[float] | Column) -> Column:
     """Sequential-fold cosine similarity, pure Column expressions.
 

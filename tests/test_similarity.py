@@ -109,3 +109,42 @@ def test_ivf_index_partition_pruned(spark, tmp_path):
     got_pruned = [r["vec_id"] for r in res.collect()]
     overlap = len(set(got_pruned) & set(exact_ids))
     assert overlap >= 5
+
+
+def test_feature_hash_embed_properties(spark):
+    """Hashing-trick featurizer: per-doc weights are unit-L2, buckets in
+    range, deterministic, sparse (zero signed counts dropped), and the
+    physical plan contains NO Python nodes (pure JVM Columns)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from mcp_crawl4ai_rag_spark.functions.embedding import feature_hash_embed
+
+    docs = [
+        (1, "alpha beta gamma alpha ALPHA  beta\tdelta"),
+        (2, "one two three four five six seven eight nine ten"),
+        (3, ""),            # no tokens: absent from output
+        (4, "   \t\n  "),   # whitespace only: absent
+        (5, "repeated repeated repeated repeated"),
+    ]
+    df = spark.createDataFrame(docs, "id int, text string")
+    out = feature_hash_embed(df, "text", "id", dim=16)
+    rows = out.collect()
+    ids = {r["id"] for r in rows}
+    assert 3 not in ids and 4 not in ids
+    assert {1, 2, 5} <= ids
+    assert all(0 <= r["bucket"] < 16 for r in rows)
+    # unit L2 norm per doc (6dp rounding tolerance)
+    for i in (1, 2, 5):
+        norm_sq = sum(r["weight"] ** 2 for r in rows if r["id"] == i)
+        assert math.isclose(norm_sq, 1.0, abs_tol=1e-4), (i, norm_sq)
+    # determinism
+    again = sorted(map(tuple, feature_hash_embed(df, "text", "id", dim=16).collect()))
+    assert again == sorted(map(tuple, rows))
+    # case folding: 'ALPHA' counts toward 'alpha'
+    one = [r for r in rows if r["id"] == 1]
+    assert len(one) <= 4  # 4 distinct tokens -> at most 4 buckets
+    # pure JVM: no Arrow/Python eval in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Arrow" not in plan
