@@ -159,3 +159,64 @@ def test_robots_sitemap_parse_total(text):
     assert isinstance(out, list)
     for u in out:
         assert u and not u.startswith("#") and "\n" not in u
+
+
+text_chars = st.text(
+    alphabet=st.characters(
+        codec="utf-8", categories=("L", "N", "P", "Zs")
+    ),
+    max_size=200,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(text_chars, text_chars, text_chars)
+def test_winnow_md5_shared_substring_guarantee(prefix, common, suffix):
+    """The winnowing theorem (Schleimer et al. '03): two docs sharing a
+    substring of >= k + window - 1 chars (post-normalization) share at
+    least one fingerprint. Built two docs around a planted common block
+    long enough to survive whitespace collapsing."""
+    from mcp_crawl4ai_rag_spark.functions.text import (
+        winnow_fingerprints_md5_py,
+    )
+
+    k, window = 8, 6
+    # the planted block must still be >= k+window-1 chars after \s+ -> ' '
+    # collapsing; use a fixed-length non-space filler around the fuzz
+    block = ("q" + common.replace(" ", "x"))[: k + window - 1].ljust(
+        k + window - 1, "z"
+    )
+    a = winnow_fingerprints_md5_py(prefix + " " + block, k, window)
+    b = winnow_fingerprints_md5_py(block + " " + suffix, k, window)
+    assert set(a) & set(b), (prefix, block, suffix)
+
+
+@settings(max_examples=200, deadline=None)
+@given(text_chars)
+def test_winnow_md5_kernel_matches_spec(text):
+    """The numpy-windowed kernel must equal a direct spec implementation
+    (per-window rightmost argmin, then distinct) on arbitrary text."""
+    import hashlib
+    import re
+
+    from mcp_crawl4ai_rag_spark.functions.text import (
+        winnow_fingerprints_md5_py,
+    )
+
+    k, window, hx = 8, 6, 10
+    t = re.sub(r"\s+", " ", text.lower().strip())
+    want: set[int] = set()
+    if len(t) >= k:
+        hs = [
+            int(hashlib.md5(t[i : i + k].encode()).hexdigest()[:hx], 16)
+            for i in range(len(t) - k + 1)
+        ]
+        m = len(hs)
+        for w in range(max(m - window + 1, 1)):
+            win = hs[w : w + window]
+            mn = min(win)
+            # rightmost occurrence of the min
+            pos = w + max(i for i, h in enumerate(win) if h == mn)
+            want.add(hs[pos])
+    got = winnow_fingerprints_md5_py(text, k, window, hx)
+    assert sorted(got) == sorted(want)
