@@ -281,6 +281,21 @@ def main() -> None:
         )
     )
 
+    # 12. feature-hashing embedder: pure JVM, no Python nodes
+    from mcp_crawl4ai_rag_spark.functions.embedding import feature_hash_embed
+
+    sections.append(
+        (
+            "Feature-hashing embedder (pure JVM, zero Python)",
+            "The hashing-trick featurizer (md5-bucketed signed token "
+            "counts, per-doc L2 norm): explode + two uniform shuffles "
+            "((id,bucket) aggregate, id window) — verify there is NO "
+            "ArrowEvalPython/BatchEvalPython node anywhere; the whole "
+            "plan stays in whole-stage codegen.",
+            grab(feature_hash_embed(docs, "text", "doc_id", dim=16)),
+        )
+    )
+
     out = ["# PLANS — physical-plan evidence for the hot paths\n"]
     out.append(
         "Generated by `python scripts/explain_plans.py` "
