@@ -522,7 +522,14 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-word ratio, most-frequent-word fraction, and most-frequent-
     bigram fraction. Explode → two-level aggregation (uniform (doc_id,
     term) keys, one shuffle) — never an O(n^2) per-row fold."""
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return _repetition_stats(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
+def _repetition_stats(d: DataFrame) -> DataFrame:
+    """Repetition stats over any (doc_id, text) frame — shared by
+    q_text_repetition, q_gopher_filter, and the composed pipelines."""
     words = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
     word_stats = (
         words.groupBy("doc_id", "w")
@@ -588,11 +595,16 @@ def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     with comma-joined drop reasons. Reuses the text_repetition plan
     (explode → two-level agg, one shuffle) + a doc-keyed join for the
     non-space char count."""
-    rep = q_text_repetition(spark, sf_dir)
-    d = _t(spark, sf_dir, "documents").select(
+    return _gopher(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
+def _gopher(d: DataFrame) -> DataFrame:
+    """Gopher keep/drop decision over any (doc_id, text) frame."""
+    rep = _repetition_stats(d)
+    nn = d.select(
         "doc_id", F.length(F.translate(F.col("text"), " ", "")).alias("n_nonspace")
     )
-    j = rep.join(d, "doc_id")
+    j = rep.join(nn, "doc_id")
     mwl = F.round(F.col("n_nonspace") / F.col("n_words"), 6)
     reasons = F.concat_ws(
         ",",
@@ -662,6 +674,104 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled = stratified_sample(
         deduped, {"en": 0.5, "de": 0.4, "zh": 0.25}, "lang", "doc_id", salt="mix1"
     )
+    return pack_offsets(
+        sampled, "n_tokens", ["doc_id"], seq_len=1024, rank_window_threshold=0
+    )
+
+
+def q_training_pipeline_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL 100-TB training-data pipeline with the near-dup family
+    composed in (Lee et al. 2022 "Deduplicating Training Data Makes
+    Language Models Better" stage order): gopher quality gate → exact
+    dedup (fingerprint, keep lowest id) → MinHash-LSH candidates →
+    exact-Jaccard verify → connected components → keep-best-quality per
+    group → stratified sampling → sequence packing. Near-dup pairs are
+    planted (first-word mutants of every 6th doc, id+1e6) so the LSH →
+    components → keep-best stages do real work; one DuckDB twin replays
+    the chain with all-pairs exact Jaccard + a recursive-CTE closure.
+
+    Every stage reuses an individually-oracled operator (gopher_filter,
+    dedup_exact, dedup_minhash, dedup_components, dedup_keep_best,
+    sample_stratified, seq_packing); this query certifies they COMPOSE.
+    Corpus-dependence caveat (same as dedup_minhash): banding recall is
+    ~1 only for pairs with J >= ~0.9 — planted mutants qualify; a future
+    fixture with marginal [0.5, 0.9) pairs could fail the gate with a
+    correct engine.
+
+    Scale shape: no stage breaks the one-shuffle patterns — gopher is
+    explode + two-level agg, exact dedup one fingerprint groupBy, LSH a
+    banded bucket join over candidates only, components one shuffle per
+    round on pair ids (pairs ≈ planted mutants, tiny), keep-best one
+    bounded window, sampling a narrow filter, packing the two-stage
+    distributed prefix sum."""
+    from mcp_crawl4ai_rag_spark.functions.text import (
+        fingerprint,
+        quality_score,
+        token_count,
+    )
+    from mcp_crawl4ai_rag_spark.operators.dedup import near_duplicates_minhash
+    from mcp_crawl4ai_rag_spark.operators.graph import connected_components
+    from mcp_crawl4ai_rag_spark.operators.packing import pack_offsets
+    from mcp_crawl4ai_rag_spark.operators.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    mut = d.where(F.col("doc_id") % 6 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        "lang",
+        F.regexp_replace(F.col("text"), r"^(\S+)", "MUTATED").alias("text"),
+    )
+    both = d.unionByName(mut)
+
+    # stage 1: gopher quality gate
+    keep_ids = _gopher(both.select("doc_id", "text")).where(F.col("keep")).select("doc_id")
+    kept = both.join(keep_ids, "doc_id")
+
+    # stage 2: exact dedup (fingerprint groupBy, keep lowest doc_id)
+    w_fp = Window.partitionBy("__fp").orderBy("doc_id")
+    ex = (
+        kept.withColumn("__fp", fingerprint(F.col("text")))
+        .withColumn("__rn", F.row_number().over(w_fp))
+        .where(F.col("__rn") == 1)
+        .select("doc_id", "lang", "text")
+    )
+
+    # stages 3+4: MinHash-LSH candidates, exact-Jaccard verified.
+    # bands=16 (2 rows/band): banding threshold (1/b)^(1/r) = 0.25, so
+    # recall at the verify threshold 0.5 is ~1 (miss prob <= (1-J^2)^16,
+    # ~1e-5 even at J = 0.71 — the worst planted-mutant Jaccard on the
+    # shortest gopher-passing docs). The 8x4 banding used by the
+    # standalone dedup_minhash query has banding threshold ~0.59 and
+    # would flake here.
+    pairs = near_duplicates_minhash(
+        ex, "text", "doc_id", threshold=0.5, num_perm=32, bands=16, shingle_k=3
+    ).select("id_a", "id_b")
+
+    # stage 5: near-dup groups (min-label connected components)
+    comp = connected_components(pairs)
+
+    # stage 6: keep the best-quality member per group (singletons pass)
+    scored = ex.join(comp, ex["doc_id"] == comp["id"], "left").select(
+        "doc_id",
+        "lang",
+        "text",
+        F.coalesce(F.col("comp"), F.col("doc_id")).alias("__comp"),
+        F.round(quality_score(F.col("text")), 2).alias("__q"),
+    )
+    w_q = Window.partitionBy("__comp").orderBy(F.desc("__q"), F.asc("doc_id"))
+    best = (
+        scored.withColumn("__rn", F.row_number().over(w_q))
+        .where(F.col("__rn") == 1)
+        .select(
+            "doc_id", "lang", token_count(F.col("text")).cast("long").alias("n_tokens")
+        )
+    )
+
+    # stage 7: deterministic stratified sampling
+    sampled = stratified_sample(
+        best, {"en": 0.5, "de": 0.4, "zh": 0.25}, "lang", "doc_id", salt="mix1"
+    )
+
+    # stage 8: sequence packing (distributed prefix-sum branch forced)
     return pack_offsets(
         sampled, "n_tokens", ["doc_id"], seq_len=1024, rank_window_threshold=0
     )
@@ -1276,17 +1386,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s6_unprocessed_scan": q_s6_unprocessed_scan,
         "j2_semi_join": q_j2_semi_join,
         "s5_cascade_delete": q_s5_cascade_delete,
-        "a1_pending_count": q_a1_pending_count,
         "a3_stats_rollup": q_a3_stats_rollup,
         "a4_histogram": q_a4_histogram,
         "a5_length_stats": q_a5_length_stats,
-        "a6_distinct_count": q_a6_distinct_count,
         "w3_largest_docs": q_w3_largest_docs,
         "w4_vector_topk": q_w4_vector_topk,
         "w5_keyword_search": q_w5_keyword_search,
         "j4_hybrid_merge": q_j4_hybrid_merge,
         "w6_pagination": q_w6_pagination,
-        "s9_url_scan": q_s9_url_scan,
         "so4_except_all": q_so4_except_all,
         "p1_canonicalize": q_p1_canonicalize,
         "p2_malformed_filter": q_p2_malformed_filter,
@@ -1320,16 +1427,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "vector_topk_2560": q_vector_topk_2560,
         "dedup_simhash_md5": q_dedup_simhash_md5,
-        # ---- rows-only below (position > 50: outside the driver's gate) --
+        # rotated INTO the 50-entry window (round 5, VERDICT r4 #3): the
+        # substantive hash-kernel + composed-pipeline oracles replace
+        # three one-liner scans whose operator families stay covered by
+        # other in-window rows (s9 by s2/s3/s5/s6; a1/a6 by a3/a4/a5)
+        "dedup_winnow_md5": q_dedup_winnow_md5,
+        "feature_hash_embed": q_feature_hash_embed,
+        "training_pipeline_neardup": q_training_pipeline_neardup,
+        # ---- position > 50: outside the driver's recording window ----
+        # still fully oracled + hash-checked by scripts/check_entry.py
+        # and tests/test_entry_gate.py — trivial scans rotated out above
+        "s9_url_scan": q_s9_url_scan,
+        "a1_pending_count": q_a1_pending_count,
+        "a6_distinct_count": q_a6_distinct_count,
+        # ---- rows-only below (inherently non-SQL; differential pytest) --
         "c1_smart_chunker": q_c1_smart_chunker,
         "c3_media_chunker": q_c3_media_chunker,
         "dedup_simhash": q_dedup_simhash,
         "dedup_winnow": q_dedup_winnow,
-        # oracled (hash-checked in scripts/check_entry.py + the local
-        # typed gate) but intentionally AFTER the driver's 50-entry
-        # window so the recorded set stays byte-stable across rounds
-        "dedup_winnow_md5": q_dedup_winnow_md5,
-        "feature_hash_embed": q_feature_hash_embed,
         "ivf_ann": q_ivf_ann,
         "ivf_index": q_ivf_index,
         "multimodal_decode": q_multimodal_decode,
@@ -1661,6 +1776,163 @@ def oracle_sql() -> dict[str, str]:
                    token_offset % 1024 AS offset_in_seq
             FROM packed
         """.format(_rth(0.4), _rth(0.5), _rth(0.25)),
+        "training_pipeline_neardup": rf"""
+            -- full near-dup training pipeline replay: gopher gate ->
+            -- exact dedup -> all-pairs exact 3-shingle Jaccard (the
+            -- engine's LSH candidates ∩ verify; equality also certifies
+            -- banding recall, same corpus-dependence caveat as
+            -- dedup_minhash) -> recursive-CTE connected components ->
+            -- keep-best quality -> stratified sample -> packing cumsum.
+            WITH RECURSIVE both_docs AS (
+              SELECT doc_id, lang, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, lang,
+                     regexp_replace(text, '^(\S+)', 'MUTATED')
+              FROM documents WHERE doc_id % 6 = 0
+            ),
+            words AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM both_docs
+            ),
+            word_stats AS (
+              SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+                     COUNT(*) AS n_distinct, MAX(c) AS top_word_count
+              FROM (SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY 1, 2) t
+              GROUP BY doc_id
+            ),
+            bigrams AS (
+              SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS b
+              FROM (
+                SELECT doc_id, toks,
+                       unnest(generate_series(1, len(toks) - 1)) AS i
+                FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                      FROM both_docs) x) y
+            ),
+            bigram_stats AS (
+              SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+                     MAX(c) AS top_bigram_count
+              FROM (SELECT doc_id, b, COUNT(*) AS c FROM bigrams GROUP BY 1, 2) t
+              GROUP BY doc_id
+            ),
+            gopher_kept AS (
+              SELECT w.doc_id
+              FROM word_stats w
+              JOIN bigram_stats bg ON w.doc_id = bg.doc_id
+              JOIN both_docs d ON w.doc_id = d.doc_id
+              WHERE w.n_words >= 20 AND w.n_words <= 100000
+                AND ROUND(LENGTH(REPLACE(d.text, ' ', ''))
+                          / CAST(w.n_words AS DOUBLE), 6) >= 3.0
+                AND ROUND(LENGTH(REPLACE(d.text, ' ', ''))
+                          / CAST(w.n_words AS DOUBLE), 6) <= 10.0
+                AND ROUND(w.n_distinct / CAST(w.n_words AS DOUBLE), 6) >= 0.4
+                AND ROUND(w.top_word_count / CAST(w.n_words AS DOUBLE), 6) <= 0.15
+                AND ROUND(bg.top_bigram_count / CAST(bg.n_bigrams AS DOUBLE), 6)
+                    <= 0.10
+            ),
+            kept AS (
+              SELECT b.doc_id, b.lang, b.text
+              FROM both_docs b JOIN gopher_kept g ON b.doc_id = g.doc_id
+            ),
+            ex AS (
+              SELECT doc_id, lang, text FROM (
+                SELECT doc_id, lang, text,
+                       row_number() OVER (
+                         PARTITION BY md5(regexp_replace(
+                           LOWER(TRIM(text)), '\s+', ' ', 'g'))
+                         ORDER BY doc_id) AS rn
+                FROM kept) t
+              WHERE rn = 1
+            ),
+            sh AS (
+              SELECT doc_id,
+                list_distinct(CASE
+                  WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+                  WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                  ELSE [array_to_string(toks[i + 1 : i + 3], ' ')
+                        for i in range(len(toks) - 2)]
+                END) AS s
+              FROM (SELECT doc_id,
+                      list_filter(string_split_regex(LOWER(text), '\s+'),
+                                  x -> x <> '') AS toks
+                    FROM ex)
+            ),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                    / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE)
+                    >= 0.5
+            ),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL
+              SELECT id_b, id_a FROM pairs
+            ),
+            reach AS (
+              SELECT src AS node, src AS root FROM edges
+              UNION
+              SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+            ),
+            labels AS (
+              SELECT node AS id, MIN(root) AS comp FROM reach GROUP BY node
+            ),
+            scored AS (
+              SELECT e.doc_id, e.lang, e.text,
+                     COALESCE(l.comp, e.doc_id) AS comp,
+                     ROUND(
+                       (CASE WHEN LENGTH(e.text) BETWEEN 200 AND 50000
+                          THEN 1 ELSE 0 END) * 0.25
+                     + (CASE WHEN ntok > 0
+                               AND nstop / CAST(ntok AS DOUBLE) >= 0.05
+                          THEN 1 ELSE 0 END) * 0.25
+                     + (CASE WHEN LENGTH(e.text) > 0
+                               AND LENGTH(regexp_extract_all(e.text, '[.,;:!?]'))
+                                   / CAST(LENGTH(e.text) AS DOUBLE)
+                                   BETWEEN 0.001 AND 0.2
+                          THEN 1 ELSE 0 END) * 0.25
+                     + (CASE WHEN ntok > 0
+                               AND LENGTH(regexp_replace(e.text, '\s+', '', 'g'))
+                                   / CAST(ntok AS DOUBLE) BETWEEN 2.0 AND 12.0
+                          THEN 1 ELSE 0 END) * 0.25, 2) AS q
+              FROM (
+                SELECT doc_id, lang, text,
+                       CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                            ELSE LENGTH(string_split_regex(TRIM(text), '\s+'))
+                       END AS ntok,
+                       LENGTH(regexp_extract_all(LOWER(text), '{_STOP}')) AS nstop
+                FROM ex) e
+              LEFT JOIN labels l ON l.id = e.doc_id
+            ),
+            best AS (
+              SELECT doc_id, lang,
+                     CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                          AS BIGINT) AS n_tokens
+              FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY comp ORDER BY q DESC, doc_id) AS rn
+                FROM scored) t
+              WHERE rn = 1
+            ),
+            sampled AS (
+              SELECT doc_id, lang, n_tokens FROM best
+              WHERE substr(md5('mix1' || CAST(doc_id AS VARCHAR)), 1, 12)
+                    < CASE lang
+                        WHEN 'de' THEN '{_rth(0.4)}'
+                        WHEN 'en' THEN '{_rth(0.5)}'
+                        WHEN 'zh' THEN '{_rth(0.25)}'
+                        ELSE '000000000000' END
+            ),
+            packed AS (
+              SELECT doc_id, lang, n_tokens,
+                     CAST(COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS BIGINT) AS token_offset
+              FROM sampled)
+            SELECT doc_id, lang, n_tokens, token_offset,
+                   token_offset // 1024 AS seq_id,
+                   token_offset % 1024 AS offset_in_seq
+            FROM packed
+        """,
         "corpus_profile": r"""
             WITH t AS (
               SELECT lang, source, CAST(n_chars AS DOUBLE) AS n_chars,
@@ -2234,8 +2506,12 @@ def oracle_sql() -> dict[str, str]:
                              ROWS BETWEEN CURRENT ROW AND 5 FOLLOWING) AS mp
               FROM h),
             postings AS (
+              -- window-start filter uses the CAPPED gram count (gram
+              -- generation and the Python kernel truncate at 2^20 grams);
+              -- the uncapped m would admit partial end-of-cap windows the
+              -- kernel never emits on >1M-char docs
               SELECT DISTINCT doc_id, mp // 1048576 AS fp
-              FROM wins WHERE i <= greatest(m - 6, 0)),
+              FROM wins WHERE i <= greatest(least(m, 1048575) - 6, 0)),
             informative AS (
               SELECT doc_id, fp FROM postings
               WHERE fp NOT IN (

@@ -84,8 +84,12 @@ def feature_hash_embed(
     both uniform in the doc id, no hot keys; output is O(distinct
     buckets per doc) <= dim rows per document. At 100 TB this is the
     standard one-pass hashing-trick featurizer."""
+    # explicit RE2-equivalent whitespace class: Java \s would also split
+    # on \x0B, which DuckDB's RE2 \s does not — the one char on which the
+    # oracle twin could diverge (ADVICE r4)
     toks = F.filter(
-        F.split(F.lower(F.col(text_col)), r"\s+", -1), lambda t: F.length(t) > 0
+        F.split(F.lower(F.col(text_col)), r"[ \t\n\r\f]+", -1),
+        lambda t: F.length(t) > 0,
     )
     tok = F.explode(toks).alias("tok")
     base = df.select(F.col(id_col).alias("id"), tok)

@@ -19,12 +19,22 @@ from pyspark.sql import functions as F
 EN_STOPWORD_PATTERN = r"\b(the|and|of|to|in|is|that|for|with|was|are)\b"
 PUNCT_PATTERN = r"[.,;:!?]"
 
+# Canonical whitespace class, spelled explicitly so all three regex
+# engines in the oracle chain agree exactly: RE2 (DuckDB) defines \s as
+# [ \t\n\r\f]; Java (Spark) \s adds \x0B; Python re \s (unicode) adds
+# NBSP, \x1c-\x1f, etc. Using the explicit RE2 class everywhere removes
+# the latent Java/Python-vs-oracle divergence on \x0B / unicode
+# whitespace (ADVICE r4). DuckDB oracles keep writing '\s+' — for RE2
+# that IS this class.
+WS_CLASS = r"[ \t\n\r\f]"
+WS_RUN = WS_CLASS + "+"
+
 
 def token_count(col: Column) -> Column:
     """Whitespace token count; 0 for blank strings."""
     trimmed = F.trim(col)
     return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
-        F.size(F.split(trimmed, r"\s+", -1))
+        F.size(F.split(trimmed, WS_RUN, -1))
     )
 
 
@@ -53,7 +63,7 @@ def stopword_ratio(col: Column) -> Column:
 
 def mean_word_len(col: Column) -> Column:
     tokens = token_count(col)
-    chars = F.length(F.regexp_replace(col, r"\s+", ""))
+    chars = F.length(F.regexp_replace(col, WS_RUN, ""))
     return F.when(tokens == 0, F.lit(0.0)).otherwise(
         chars.cast("double") / tokens.cast("double")
     )
@@ -82,7 +92,7 @@ def lang_id(col: Column) -> Column:
 def fingerprint(col: Column) -> Column:
     """Document fingerprint: md5 of whitespace-normalized lowercase text —
     the exact-dedup key."""
-    return F.md5(F.regexp_replace(F.lower(F.trim(col)), r"\s+", " "))
+    return F.md5(F.regexp_replace(F.lower(F.trim(col)), WS_RUN, " "))
 
 
 def winnow_fingerprints_py(
@@ -103,7 +113,9 @@ def winnow_fingerprints_py(
 
     import numpy as np
 
-    s = re.sub(r"\s+", " ", (text or "").lower().strip())
+    # strip(" ") + explicit WS class mirrors the SQL twins' shape
+    # TRIM + regexp_replace('\s+') exactly (RE2 \s == [ \t\n\r\f])
+    s = re.sub(r"[ \t\n\r\f]+", " ", (text or "").lower().strip(" "))
     b = np.frombuffer(s.encode("utf-8", "ignore"), dtype=np.uint8)
     if len(b) < k:
         return []
@@ -174,8 +186,11 @@ def winnow_fingerprints_md5_py(
     import numpy as np
 
     # cap gram count m at 2^20 - 1 (len = m + k - 1), matching the
-    # oracle's least(length(t) - k + 1, 1048575) exactly
-    s = re.sub(r"\s+", " ", (text or "").lower().strip())[
+    # oracle's least(length(t) - k + 1, 1048575) exactly. Normalization
+    # mirrors the oracle's lower→TRIM→regexp_replace('\s+') with RE2's
+    # ASCII \s == [ \t\n\r\f] (Python unicode \s would diverge on NBSP
+    # and \x1c-\x1f — ADVICE r4).
+    s = re.sub(r"[ \t\n\r\f]+", " ", (text or "").lower().strip(" "))[
         : (1 << _WINNOW_POS_BITS) - 2 + k
     ]
     if len(s) < k:
@@ -224,7 +239,7 @@ def word_shingles(col: Column, k: int = 5) -> Column:
     spaces. Shorter-than-k texts collapse to one shingle (the whole
     token list); empty/blank texts yield an empty array."""
     toks = F.filter(
-        F.split(F.lower(col), r"\s+", -1), lambda t: F.length(t) > 0
+        F.split(F.lower(col), WS_RUN, -1), lambda t: F.length(t) > 0
     )
     n = F.size(toks)
     windows = F.transform(

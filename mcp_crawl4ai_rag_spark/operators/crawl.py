@@ -669,24 +669,19 @@ class CrawlEngine:
         partition-pruned maintenance path the host-bucket layout exists
         for (a host taken out of scope, gone dead, or newly disallowed).
 
-        The host's bucket is computed driver-side (pmod(xxhash64(host),
-        host_buckets) — same expression as ``_bucket``); only that one
-        partition directory is scanned (SnapshotTable.read(partitions=
-        [bucket]) manifest pruning) and only delta 'del' rows are
-        written, O(matched). Fetched/documents history is untouched.
+        The host's bucket is computed driver-side with a pure-Python
+        XXH64 (functions/xxh.py, parity-pinned against the JVM's
+        xxhash64 — no 1-row Spark job); only that one partition directory
+        is scanned (SnapshotTable.read(partitions=[bucket]) manifest
+        pruning) and only delta 'del' rows are written, O(matched).
+        Fetched/documents history is untouched.
         Note: purged PENDING urls leave the seen set (the same delete
         semantics as dead URLs); to keep a purged host out permanently,
         also add a disallow rule to the robots table — admission filters
         on robots BEFORE dedup. Resume-safe like any delta commit."""
-        bucket = (
-            self.spark.range(1)
-            .select(
-                F.pmod(F.xxhash64(F.lit(host)), F.lit(self.host_buckets))
-                .cast("int")
-                .alias("b")
-            )
-            .first()["b"]
-        )
+        from mcp_crawl4ai_rag_spark.functions.xxh import host_bucket
+
+        bucket = host_bucket(host, self.host_buckets)
         base = self.pending_tbl.read(
             self.spark, self.versions.get("frontier_pending"), partitions=[bucket]
         )

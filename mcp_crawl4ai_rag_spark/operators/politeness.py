@@ -169,6 +169,7 @@ def budgeted_pop(
     hosts: DataFrame,
     batch_size: int,
     salt_buckets: int = 16,
+    broadcast_binding_max: int = 65536,
 ) -> DataFrame:
     """W1: the frontier pop. Per-host window rank bounded by the token
     budget, then global (priority DESC, seq ASC) top-``batch_size``.
@@ -204,6 +205,19 @@ def budgeted_pop(
     in tests/test_politeness_pop.py). The bypass is the scaling win when
     most of the frontier belongs to unlimited hosts: those rows never
     shuffle at all.
+
+    **Binding-set cardinality dispatch.** The set of binding budgets is
+    small when only a few hosts are rate-limited, but in the open-web
+    configuration every host carries a crawl-delay and the set is O(total
+    hosts). A single probe job (``limit(broadcast_binding_max + 1)``)
+    decides the shape: within the threshold, the classic collect +
+    broadcast path (bypass rows shuffle-free); above it, budgets stay
+    distributed and the same semantics run as a (host, salt)-keyed
+    shuffle join — the budget side exploded by salt bucket so a hot host
+    spreads across ``salt_buckets`` join tasks and the join's exchange
+    doubles as the salted window's partitioning. No O(hosts) driver
+    materialization on either path (tests/test_politeness_pop.py pins
+    the bound).
     """
     budgets = hosts.select(
         "host", F.floor(F.col("tokens")).cast("long").alias("__budget")
@@ -215,13 +229,23 @@ def budgeted_pop(
     # rows ahead of it in the SAME (priority DESC, seq ASC) order the
     # global top-k uses — it can never be emitted anyway. So such hosts
     # take the bypass, and the windows only ever shuffle rows of
-    # genuinely rate-limited hosts. Collecting the binding set through the
-    # driver costs nothing extra at any scale: the broadcast hash join
-    # below pulls the budgets table through the driver regardless — this
-    # is the same data path with the non-binding majority dropped.
-    binding = budgets.where(F.col("__budget") < batch_size).collect()
+    # genuinely rate-limited hosts.
+    #
+    # Cardinality dispatch (the binding set is NOT always small: in the
+    # open-web configuration every host carries a crawl-delay, so
+    # __budget < batch_size holds for ~all hosts and the set is O(total
+    # hosts) — 10^7-10^8 rows that must never be materialized on the
+    # driver). One probe job fetches at most broadcast_binding_max + 1
+    # rows; when the set fits, the classic collect + broadcast fast path
+    # costs nothing extra (the broadcast join pulls the budgets through
+    # the driver anyway). When it overflows, budgets stay distributed and
+    # the identical bypass semantics run as a plain (host)-keyed join:
+    # budget row absent => bypass column, present => the same salted
+    # pre-prune + exact window on the joined side only.
+    binding_df = budgets.where(F.col("__budget") < batch_size)
+    probe = binding_df.limit(broadcast_binding_max + 1).collect()
     w_global = Window.orderBy(F.desc("priority"), F.asc("seq"))
-    if not binding:
+    if not probe:
         # nothing binds: the pop IS the global top-k — one scan, no join,
         # no union; compiles to TakeOrderedAndProject (per-partition heaps)
         return (
@@ -229,20 +253,46 @@ def budgeted_pop(
             .limit(batch_size)
             .withColumn("pop_rank", F.row_number().over(w_global))
         )
-    bud = pending.sparkSession.createDataFrame(
-        binding, "host string, __budget long"
-    )
-    tagged = pending.join(F.broadcast(bud), "host", "left")
-    bypass = tagged.where(F.col("__budget").isNull()).drop("__budget")
+    salt_col = F.pmod(F.xxhash64("url"), F.lit(salt_buckets)).cast("int")
+    if len(probe) <= broadcast_binding_max:
+        # small binding set (the probe returned it whole): driver
+        # round-trip is bounded by the threshold, broadcast join keeps
+        # bypass rows shuffle-free
+        bud = pending.sparkSession.createDataFrame(
+            probe, "host string, __budget long"
+        )
+        tagged = pending.join(F.broadcast(bud), "host", "left")
+        bypass = tagged.where(F.col("__budget").isNull()).drop("__budget")
+        budgeted = tagged.where(F.col("__budget").isNotNull()).withColumn(
+            "__salt", salt_col
+        )
+    else:
+        # binding set exceeds the broadcast threshold (the open-web
+        # all-hosts-budgeted regime): never materialize it. Salt the join
+        # key itself — budgets explode x salt_buckets (still one small row
+        # group per host), pending tags its bucket — so (a) a host holding
+        # half the frontier spreads over salt_buckets join tasks instead
+        # of one, and (b) the join's hashpartitioning(host, __salt) is
+        # exactly the salted window's partitioning: one exchange serves
+        # both.
+        bud_s = binding_df.withColumn(
+            "__salt",
+            F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))),
+        )
+        tagged = pending.withColumn("__salt", salt_col).join(
+            bud_s, ["host", "__salt"], "left"
+        )
+        bypass = tagged.where(F.col("__budget").isNull()).drop(
+            "__budget", "__salt"
+        )
+        budgeted = tagged.where(F.col("__budget").isNotNull())
 
     keep_k = F.least(F.col("__budget"), F.lit(batch_size))
     w_salt = Window.partitionBy("host", "__salt").orderBy(
         F.desc("priority"), F.asc("seq")
     )
     pruned = (
-        tagged.where(F.col("__budget").isNotNull())
-        .withColumn("__salt", F.pmod(F.xxhash64("url"), F.lit(salt_buckets)))
-        .withColumn("__srank", F.row_number().over(w_salt))
+        budgeted.withColumn("__srank", F.row_number().over(w_salt))
         .where(F.col("__srank") <= keep_k)
         .drop("__salt", "__srank")
     )

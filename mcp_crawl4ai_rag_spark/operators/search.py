@@ -312,7 +312,9 @@ def bm25_rank(
         t = t.lower()
         qtf[t] = qtf.get(t, 0) + 1
     terms = sorted(qtf)
-    toks = F.split(F.lower(F.col(content_col)), r"\s+")
+    # explicit RE2-equivalent whitespace class (matches the DuckDB twin's
+    # \s exactly; Java \s would add \x0B — ADVICE r4)
+    toks = F.split(F.lower(F.col(content_col)), r"[ \t\n\r\f]+")
     # no .cache(): lens is a cheap narrow projection computed twice within
     # one job tree; caching it leaked executor storage across queries in a
     # long-lived session (never unpersisted).

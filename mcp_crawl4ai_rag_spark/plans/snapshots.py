@@ -234,6 +234,16 @@ class SnapshotTable:
             return None
         cur_v = cur.version
         m = self._manifest(parent_version if parent_version is not None else cur_v)
+        if m.get("part_col"):
+            # A partitioned (commit_partitioned) lineage stores the partition
+            # column only in directory names; reading its subdirs without
+            # basePath would null the column and a flat rewrite would drop
+            # the partition map — refuse instead of silently corrupting.
+            raise ValueError(
+                f"{self.dir}: compact_tail does not support partitioned "
+                f"manifests (part_col={m['part_col']!r}); partitioned tables "
+                "are rewritten whole by commit_partitioned"
+            )
         paths = list(m["paths"])
         folded = m.get("folded", 1)
         full = folded >= max_base

@@ -337,6 +337,36 @@ def test_resume_ignores_orphan_commits(spark, tmp_path, web):
     assert resumed.documents().where("url like 'https://bogus%'").count() == 0
 
 
+def test_xxh64_matches_spark(spark):
+    """The driver-side XXH64 (functions/xxh.py) must be bit-identical to
+    the JVM's F.xxhash64 on strings — purge_host's bucket math depends on
+    it. Covers every length class of the algorithm (empty, <4, <8, <32,
+    >=32 bytes) plus multi-byte UTF-8, and the pmod bucket helper."""
+    import random
+    import string
+
+    from mcp_crawl4ai_rag_spark.functions.xxh import (
+        host_bucket,
+        spark_xxhash64_str,
+    )
+
+    rng = random.Random(7)
+    cases = ["", "a", "abc", "abcdefg", "x" * 31, "y" * 32, "z" * 100,
+             "host.example.com", "héllo wörld   unicode"]
+    cases += [
+        "".join(rng.choices(string.printable, k=rng.randint(0, 80)))
+        for _ in range(60)
+    ]
+    rows = spark.createDataFrame([(s,) for s in cases], "s string").select(
+        "s",
+        F.xxhash64("s").alias("h"),
+        F.pmod(F.xxhash64("s"), F.lit(16)).cast("int").alias("b"),
+    ).collect()
+    for r in rows:
+        assert spark_xxhash64_str(r["s"]) == r["h"], repr(r["s"])
+        assert host_bucket(r["s"], 16) == r["b"], repr(r["s"])
+
+
 def test_purge_host_partition_pruned(spark, tmp_path, web):
     """purge_host drops exactly one host's pending rows via the
     partition-pruned bucket read + O(matched) delta dels; other hosts'

@@ -34,7 +34,7 @@ def make_rows(rng, n, hosts):
     return rows
 
 
-def run_case(spark, budgets, batch_size, n=3000, salt_buckets=4):
+def run_case(spark, budgets, batch_size, n=3000, salt_buckets=4, **kw):
     rng = random.Random(hash((batch_size, tuple(sorted(budgets.items())))) & 0xFFFF)
     hosts_list = ["hot.h", "a.h", "b.h", "c.h"]
     rows = make_rows(rng, n, hosts_list)
@@ -47,7 +47,9 @@ def run_case(spark, budgets, batch_size, n=3000, salt_buckets=4):
     )
     got = sorted(
         (r["url"], r["pop_rank"])
-        for r in budgeted_pop(pending, hosts, batch_size, salt_buckets).collect()
+        for r in budgeted_pop(
+            pending, hosts, batch_size, salt_buckets, **kw
+        ).collect()
     )
     want = sorted(exact_pop_py(rows, budgets, batch_size))
     assert got == want, f"batch={batch_size} budgets={budgets}"
@@ -67,6 +69,75 @@ def test_missing_hosts_unlimited(spark):
 
 def test_zero_and_negative_budget(spark):
     run_case(spark, {"hot.h": 0, "a.h": -2.5, "b.h": 3}, batch_size=30)
+
+
+def test_distributed_branch_exactness(spark):
+    """broadcast_binding_max=0 forces the distributed (host, salt)-keyed
+    join branch; the result must stay bit-identical to the sequential
+    oracle across the same budget regimes the collect branch covers."""
+    run_case(
+        spark,
+        {"hot.h": 7, "a.h": 3, "b.h": 2, "c.h": 5},
+        batch_size=50,
+        broadcast_binding_max=0,
+    )
+    run_case(
+        spark,
+        {"hot.h": 0, "a.h": -2.5, "b.h": 3},
+        batch_size=30,
+        broadcast_binding_max=0,
+    )
+    run_case(
+        spark, {"hot.h": 4}, batch_size=40, broadcast_binding_max=0
+    )
+
+
+def test_all_hosts_budgeted_no_driver_materialization(spark):
+    """The open-web regime (EVERY host rate-limited, binding set O(hosts)):
+    above the dispatch threshold, budgeted_pop must never pull more than
+    threshold+1 rows through the driver — the probe is the only collect —
+    and the result must still equal the sequential oracle."""
+    n_hosts, threshold, batch = 4000, 64, 37
+    rows = [
+        (f"https://h{h}.test/p/{i}", f"h{h}.test", 1, (h * 7 + i) % 5, h * 2 + i)
+        for h in range(n_hosts)
+        for i in range(2)
+    ]
+    pending = spark.createDataFrame(
+        rows, "url string, host string, depth int, priority int, seq long"
+    )
+    budgets = {f"h{h}.test": 1 for h in range(n_hosts)}  # all binding
+    hosts = spark.createDataFrame(
+        [(h, 1.0, 0.0, 1.0) for h in budgets],
+        "host string, capacity double, refill_rate double, tokens double",
+    )
+
+    # patch the CONCRETE class (pyspark 4's classic DataFrame overrides
+    # the pyspark.sql.DataFrame base methods)
+    cls = type(pending)
+    collected_sizes = []
+    orig_collect = cls.collect
+
+    def spy_collect(self):
+        out = orig_collect(self)
+        collected_sizes.append(len(out))
+        return out
+
+    cls.collect = spy_collect
+    try:
+        popped = budgeted_pop(
+            pending, hosts, batch, salt_buckets=4,
+            broadcast_binding_max=threshold,
+        )
+    finally:
+        cls.collect = orig_collect
+    # the probe is bounded; nothing O(hosts) crossed the driver
+    assert collected_sizes, "dispatch probe did not run"
+    assert max(collected_sizes) <= threshold + 1, collected_sizes
+
+    got = sorted((r["url"], r["pop_rank"]) for r in popped.collect())
+    want = sorted(exact_pop_py(rows, budgets, batch))
+    assert got == want
 
 
 def test_hosts_from_robots(spark):

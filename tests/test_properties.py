@@ -204,7 +204,9 @@ def test_winnow_md5_kernel_matches_spec(text):
     )
 
     k, window, hx = 8, 6, 10
-    t = re.sub(r"\s+", " ", text.lower().strip())
+    # spec normalization mirrors the kernel/oracle: RE2-ASCII \s class +
+    # space-only strip (TRIM)
+    t = re.sub(r"[ \t\n\r\f]+", " ", text.lower().strip(" "))
     want: set[int] = set()
     if len(t) >= k:
         hs = [

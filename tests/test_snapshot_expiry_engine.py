@@ -41,8 +41,11 @@ def test_expiry_bounds_pending_dirs_and_resume(spark, tmp_path):
     # pending rewrites bounded by keep window (not O(rounds))
     assert count_data_dirs(wd, "frontier_pending") <= 3
     assert count_data_dirs(wd, "hosts") <= 3
-    # fetched/documents are append-only: all data dirs stay live
-    assert count_data_dirs(wd, "documents") >= rounds
+    # fetched/documents are append-only BUT get compact_tail +
+    # expire_snapshots on the round path, so the live dir count is NOT
+    # O(rounds) in general — it is bounded below by the post-fold floor
+    # (folded prefix + current tail ≥ 1) and must still be nonzero here
+    assert count_data_dirs(wd, "documents") >= 1
 
     # resume from the latest checkpoint still works after expiry
     resumed = CrawlEngine.resume(
