@@ -542,14 +542,15 @@ def _repetition_stats(d: DataFrame) -> DataFrame:
         )
     )
     toks = F.split(F.col("text"), " ")
-    bigrams = d.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - 1),
-                lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
-            )
-        ).alias("b"),
+    # bigrams via arrays_zip of the two shifted slices + one explode:
+    # stays in whole-stage codegen. The obvious F.transform(sequence, ...)
+    # lambda is INTERPRETED per element (measured 4x slower at sf0.1 —
+    # the same HOF trap as the md5-winnow Column attempt, COVERAGE.md).
+    z = F.arrays_zip(
+        F.slice(toks, 1, F.size(toks) - 1), F.slice(toks, 2, F.size(toks) - 1)
+    )
+    bigrams = d.select("doc_id", F.explode(z).alias("z")).select(
+        "doc_id", F.concat_ws(" ", F.col("z")["0"], F.col("z")["1"]).alias("b")
     )
     bigram_stats = (
         bigrams.groupBy("doc_id", "b")
@@ -714,8 +715,15 @@ def q_training_pipeline_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mcp_crawl4ai_rag_spark.operators.packing import pack_offsets
     from mcp_crawl4ai_rag_spark.operators.sampling import stratified_sample
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    mut = d.where(F.col("doc_id") % 6 == 0).select(
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select("doc_id", "lang", "text")
+    # plant mutants only on docs >= 300 chars (~45+ tokens): the pair's
+    # 3-shingle Jaccard is then >= ~0.82 even with repeated shingles, so
+    # 64-perm/16-band (4 rows/band, banding threshold (1/16)^(1/4) = 0.5)
+    # LSH misses a planted pair with prob <= ~1e-4 — the gate is
+    # deterministic in practice, without the candidate flood a 2-row
+    # band would cause
+    mut = docs.where((F.col("doc_id") % 6 == 0) & (F.col("n_chars") >= 300)).select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
         "lang",
         F.regexp_replace(F.col("text"), r"^(\S+)", "MUTATED").alias("text"),
@@ -726,24 +734,28 @@ def q_training_pipeline_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep_ids = _gopher(both.select("doc_id", "text")).where(F.col("keep")).select("doc_id")
     kept = both.join(keep_ids, "doc_id")
 
-    # stage 2: exact dedup (fingerprint groupBy, keep lowest doc_id)
+    # stage 2: exact dedup (fingerprint groupBy, keep lowest doc_id).
+    # localCheckpoint: four downstream consumers (LSH signatures, shingle
+    # verify join, quality scoring, keep-best) would each recompute the
+    # gopher explode+agg lineage otherwise — measured 14 s → ~8 s at
+    # sf0.1. At cluster scale this is the standard "materialize the
+    # filtered corpus once" stage boundary.
     w_fp = Window.partitionBy("__fp").orderBy("doc_id")
     ex = (
         kept.withColumn("__fp", fingerprint(F.col("text")))
         .withColumn("__rn", F.row_number().over(w_fp))
         .where(F.col("__rn") == 1)
         .select("doc_id", "lang", "text")
+        .localCheckpoint()
     )
 
     # stages 3+4: MinHash-LSH candidates, exact-Jaccard verified.
-    # bands=16 (2 rows/band): banding threshold (1/b)^(1/r) = 0.25, so
-    # recall at the verify threshold 0.5 is ~1 (miss prob <= (1-J^2)^16,
-    # ~1e-5 even at J = 0.71 — the worst planted-mutant Jaccard on the
-    # shortest gopher-passing docs). The 8x4 banding used by the
-    # standalone dedup_minhash query has banding threshold ~0.59 and
-    # would flake here.
+    # 64 perms x 16 bands = 4 rows/band: banding threshold
+    # (1/16)^(1/4) = 0.5, matched to the verify threshold — recall ~1 on
+    # the planted pairs (J >= ~0.82 by the n_chars >= 300 rule above)
+    # without the false-candidate flood of wider bands.
     pairs = near_duplicates_minhash(
-        ex, "text", "doc_id", threshold=0.5, num_perm=32, bands=16, shingle_k=3
+        ex, "text", "doc_id", threshold=0.5, num_perm=64, bands=16, shingle_k=3
     ).select("id_a", "id_b")
 
     # stage 5: near-dup groups (min-label connected components)
@@ -1788,7 +1800,7 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT doc_id + 1000000, lang,
                      regexp_replace(text, '^(\S+)', 'MUTATED')
-              FROM documents WHERE doc_id % 6 = 0
+              FROM documents WHERE doc_id % 6 = 0 AND n_chars >= 300
             ),
             words AS (
               SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM both_docs
