@@ -1200,6 +1200,37 @@ def q_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_fixed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with FIXED coarse centroids (the embeddings of vec_id 0-7,
+    unit-normalized): given fixed centroids, the cell assignment (argmax
+    cosine over 8 centroids) and the partition-pruned cosine top-k are
+    plain SQL, so the IVF build→cell-partitioned-store→nprobe-probe
+    machinery itself carries a full DuckDB oracle. The k-means centroid
+    BUILD stays covered by the recall/pruning pytest via the rows-only
+    ivf_ann/ivf_index entries (k-means is iterative float — inherently
+    non-SQL). Reference anchor: HNSW ANN index,
+    scripts/create_indexes.sql:123-125 (the survey's ANN tier)."""
+    import tempfile
+
+    import numpy as np
+
+    from mcp_crawl4ai_rag_spark.operators.similarity import IVFIndex
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent_rows = sorted(
+        emb.where(F.col("vec_id") < 8).collect(), key=lambda r: r["vec_id"]
+    )
+    cents = np.array([r["embedding"] for r in cent_rows], dtype=np.float64)
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    idx = IVFIndex(tempfile.mkdtemp(prefix="entry-ivf-fixed-"), "ivf").build(
+        emb, centroids=cents
+    )
+    qvec = [float(x) for x in cent_rows[3]["embedding"]]  # vec_id 3's vector
+    return idx.query(spark, qvec, k=10, nprobe=3).select(
+        "vec_id", F.round("cosine", 6).alias("cosine"), "cell"
+    )
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mcp_crawl4ai_rag_spark.operators.multimodal import decode_media
 
@@ -1400,7 +1431,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s5_cascade_delete": q_s5_cascade_delete,
         "a3_stats_rollup": q_a3_stats_rollup,
         "a4_histogram": q_a4_histogram,
-        "a5_length_stats": q_a5_length_stats,
         "w3_largest_docs": q_w3_largest_docs,
         "w4_vector_topk": q_w4_vector_topk,
         "w5_keyword_search": q_w5_keyword_search,
@@ -1446,12 +1476,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_winnow_md5": q_dedup_winnow_md5,
         "feature_hash_embed": q_feature_hash_embed,
         "training_pipeline_neardup": q_training_pipeline_neardup,
+        "ivf_fixed_ann": q_ivf_fixed_ann,
         # ---- position > 50: outside the driver's recording window ----
         # still fully oracled + hash-checked by scripts/check_entry.py
         # and tests/test_entry_gate.py — trivial scans rotated out above
         "s9_url_scan": q_s9_url_scan,
         "a1_pending_count": q_a1_pending_count,
         "a6_distinct_count": q_a6_distinct_count,
+        "a5_length_stats": q_a5_length_stats,
         # ---- rows-only below (inherently non-SQL; differential pytest) --
         "c1_smart_chunker": q_c1_smart_chunker,
         "c3_media_chunker": q_c3_media_chunker,
@@ -2571,6 +2603,50 @@ def oracle_sql() -> dict[str, str]:
             FROM counts
         """,
         "link_pagerank": _pagerank_oracle_sql(n_iter=8, damping=0.85),
+        "ivf_fixed_ann": r"""
+            -- exact replay of the fixed-centroid IVF path: cell =
+            -- argmax-cosine over the 8 centroid vectors (vec_id 0-7),
+            -- probe = the query's top-3 cells, then cosine top-10 within
+            -- the probed cells only — the same pruning the engine does
+            -- with partition-pruned parquet reads. cosine is
+            -- scale-invariant, so raw centroid vectors here equal the
+            -- engine's unit-normalized copies.
+            WITH cents AS (
+              SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS c
+              FROM embeddings WHERE vec_id < 8),
+            q AS (
+              SELECT CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id = 3),
+            assign AS (
+              SELECT vec_id, cell FROM (
+                SELECT e.vec_id, CAST(c.cid AS INTEGER) AS cell,
+                       row_number() OVER (
+                         PARTITION BY e.vec_id
+                         ORDER BY list_cosine_similarity(
+                                    CAST(e.embedding AS DOUBLE[]), c.c) DESC,
+                                  c.cid) AS rn
+                FROM embeddings e CROSS JOIN cents c) t
+              WHERE rn = 1),
+            probed AS (
+              SELECT CAST(cid AS INTEGER) AS cell FROM (
+                SELECT c.cid, row_number() OVER (
+                  ORDER BY list_cosine_similarity(c.c, q.qv) DESC, c.cid) AS rn
+                FROM cents c CROSS JOIN q) t
+              WHERE rn <= 3),
+            scored AS (
+              SELECT e.vec_id, a.cell,
+                     list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                            q.qv) AS cos
+              FROM embeddings e
+              JOIN assign a ON a.vec_id = e.vec_id
+              JOIN probed p ON p.cell = a.cell
+              CROSS JOIN q)
+            SELECT vec_id, ROUND(cos, 6) AS cosine, cell FROM (
+              SELECT vec_id, cell, cos,
+                     row_number() OVER (ORDER BY cos DESC, vec_id) AS rn
+              FROM scored) t
+            WHERE rn <= 10
+        """,
         "dedup_minhash": r"""
             -- exact all-pairs 3-shingle Jaccard >= threshold: the engine's
             -- result is banding candidates ∩ exact-verified, so equality

@@ -160,8 +160,17 @@ class IVFIndex:
         nlist: int = 16,
         item_id: str = "vec_id",
         item_vec: str = "embedding",
+        centroids: np.ndarray | None = None,
     ) -> "IVFIndex":
-        centroids = _sample_centroids(items, nlist, item_vec)
+        """``centroids``: optional pre-computed (n, dim) unit-norm array —
+        skips the k-means sampling. With fixed centroids the whole
+        build→store→probe path is deterministic argmax-cosine, so it
+        carries a full SQL oracle (entry query ``ivf_fixed_ann``); the
+        k-means path stays covered by the recall/pruning pytest."""
+        if centroids is None:
+            centroids = _sample_centroids(items, nlist, item_vec)
+        else:
+            centroids = np.asarray(centroids, dtype=np.float64)
         assign = make_centroid_assign_udf(centroids, 1)
         bucketed = items.select(item_id, item_vec).withColumn(
             "cell", assign(F.col(item_vec))[0]
