@@ -1247,6 +1247,33 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash (dHash) media near-dup over multimodal payloads:
+    every 5th doc's text bytes stand in for an image payload; a second
+    copy gets an 8-byte IN-PLACE overwrite (same length — the locality
+    the length-proportional decode stub preserves), so planted pairs sit
+    at small Hamming distance while cross pairs are far. n_blocks=8 >
+    max_hamming=6 ⇒ pigeonhole-complete banding, so the DuckDB twin's
+    exact all-pairs Hamming is a corpus-INDEPENDENT equality, like
+    dedup_simhash_md5. ASCII-fixture assumption: the kernel samples
+    payload BYTES, the oracle samples characters — equal on these
+    fixtures (same caveat as the winnow oracle)."""
+    from mcp_crawl4ai_rag_spark.operators.multimodal import media_near_duplicates
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    mut = d.where(F.length("text") >= 40).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.expr(
+            "concat(substring(text, 1, 10), 'XXXXXXXX', substring(text, 19))"
+        ).alias("text"),
+    )
+    both = d.select("doc_id", "text").unionByName(mut)
+    media = both.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    return media_near_duplicates(
+        media, "payload", "doc_id", method="dhash", max_hamming=6, n_blocks=8
+    ).select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
 def q_feature_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashing embedder (hashing trick) with a FULL DuckDB oracle:
     md5-bucketed signed token counts, L2-normalized per doc, sparse
@@ -1435,7 +1462,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w4_vector_topk": q_w4_vector_topk,
         "w5_keyword_search": q_w5_keyword_search,
         "j4_hybrid_merge": q_j4_hybrid_merge,
-        "w6_pagination": q_w6_pagination,
         "so4_except_all": q_so4_except_all,
         "p1_canonicalize": q_p1_canonicalize,
         "p2_malformed_filter": q_p2_malformed_filter,
@@ -1477,13 +1503,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_hash_embed": q_feature_hash_embed,
         "training_pipeline_neardup": q_training_pipeline_neardup,
         "ivf_fixed_ann": q_ivf_fixed_ann,
+        "media_dedup_phash": q_media_dedup_phash,
         # ---- position > 50: outside the driver's recording window ----
         # still fully oracled + hash-checked by scripts/check_entry.py
         # and tests/test_entry_gate.py — trivial scans rotated out above
+        # (families covered in-window: s9 by s2/s3/s5/s6; a1/a5/a6 by
+        # a3/a4; w6 by w1/w3/w4/w5)
         "s9_url_scan": q_s9_url_scan,
         "a1_pending_count": q_a1_pending_count,
         "a6_distinct_count": q_a6_distinct_count,
         "a5_length_stats": q_a5_length_stats,
+        "w6_pagination": q_w6_pagination,
         # ---- rows-only below (inherently non-SQL; differential pytest) --
         "c1_smart_chunker": q_c1_smart_chunker,
         "c3_media_chunker": q_c3_media_chunker,
@@ -2603,6 +2633,50 @@ def oracle_sql() -> dict[str, str]:
             FROM counts
         """,
         "link_pagerank": _pagerank_oracle_sql(n_iter=8, damping=0.85),
+        "media_dedup_phash": r"""
+            -- exact recomputation of the dHash perceptual signatures +
+            -- all-pairs hamming. Corpus-INDEPENDENT equality: 8 blocks >
+            -- max_hamming 6 makes the engine's banding recall 100%
+            -- (pigeonhole). Cell i = byte at length-proportional position
+            -- (i*len)//72 (the decode stub); bit k = r*8+c compares grid
+            -- cell (r, c) vs (r, c+1) on the 9x8 grid; signatures packed
+            -- as two 32-bit halves to stay in positive BIGINT space.
+            -- unicode(substr()) samples characters where the kernel
+            -- samples bytes — equal on ASCII fixtures (winnow precedent).
+            WITH base AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+            both_docs AS (
+              SELECT doc_id, text FROM base
+              UNION ALL
+              SELECT doc_id + 1000000,
+                     substr(text, 1, 10) || 'XXXXXXXX' || substr(text, 19)
+              FROM base WHERE LENGTH(text) >= 40),
+            cells AS (
+              SELECT doc_id, r.i,
+                unicode(substr(text,
+                  CAST((r.i * LENGTH(text)) // 72 + 1 AS INT), 1)) AS v
+              FROM both_docs, range(72) r(i)),
+            bits AS (
+              SELECT a.doc_id, (a.i // 9) * 8 + (a.i % 9) AS k,
+                     CASE WHEN a.v > b.v THEN 1 ELSE 0 END AS bit
+              FROM cells a JOIN cells b
+                ON b.doc_id = a.doc_id AND b.i = a.i + 1
+              WHERE a.i % 9 < 8),
+            sig AS (
+              SELECT doc_id,
+                CAST(SUM(CASE WHEN k < 32
+                              THEN bit * (CAST(1 AS BIGINT) << (31 - k))
+                              ELSE 0 END) AS BIGINT) AS hi,
+                CAST(SUM(CASE WHEN k >= 32
+                              THEN bit * (CAST(1 AS BIGINT) << (63 - k))
+                              ELSE 0 END) AS BIGINT) AS lo
+              FROM bits GROUP BY doc_id)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              CAST(bit_count(xor(a.hi, b.hi))
+                   + bit_count(xor(a.lo, b.lo)) AS INT) AS hamming
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 6
+        """,
         "ivf_fixed_ann": r"""
             -- exact replay of the fixed-centroid IVF path: cell =
             -- argmax-cosine over the 8 centroid vectors (vec_id 0-7),

@@ -721,11 +721,36 @@ def simhash_near_duplicates(
     The default 4 blocks only guarantees hamming <= 3; callers using a
     larger max_hamming trade recall in the (n_blocks..max_hamming] band
     for fewer candidates, exactly like MinHash banding."""
-    widths = [64 // n_blocks + (1 if i < 64 % n_blocks else 0) for i in range(n_blocks)]
-    starts = [sum(widths[:i]) for i in range(n_blocks)]
     sim = df.select(
         F.col(id_col).alias("id"),
         make_simhash_udf(hasher=hasher)(F.col(text_col)).alias("sh"),
+    )
+    return hamming_near_duplicates(sim, "sh", "id", max_hamming, n_blocks)
+
+
+def hamming_near_duplicates(
+    hashed: DataFrame, hash_col: str, id_col: str,
+    max_hamming: int = 3, n_blocks: int = 4,
+) -> DataFrame:
+    """Banded Hamming join over ANY 64-bit signature column — the shared
+    machinery behind simhash text near-dup and dHash/aHash perceptual
+    media near-dup (operators/multimodal.media_near_duplicates).
+
+    Band the signature into ``n_blocks`` blocks (sizes as even as 64/n
+    allows), bucket-join on equal (block_idx, block_val), verify the
+    exact Hamming distance with bit ops. Pigeonhole: hamming <= h and
+    n_blocks > h ⇒ at least one block equal, so ``n_blocks > max_hamming``
+    gives 100% recall on any corpus — what lets the md5-simhash and
+    media-phash oracles assert exact all-pairs set EQUALITY.
+
+    Scale shape: the join key (block_idx, block_val) is uniform for
+    hash-like signatures (expected random-pair collisions n_blocks *
+    N^2 / 2^block_width per bucket space); the verify is one xor +
+    bit_count in codegen; output O(qualifying pairs)."""
+    widths = [64 // n_blocks + (1 if i < 64 % n_blocks else 0) for i in range(n_blocks)]
+    starts = [sum(widths[:i]) for i in range(n_blocks)]
+    sim = hashed.select(
+        F.col(id_col).alias("id"), F.col(hash_col).alias("sh")
     ).cache()  # self-joined below: avoid recomputing the hash UDF per side
     blocks = sim.select(
         "id",

@@ -109,6 +109,102 @@ def frame_sample_plan(decoded: DataFrame, every_n: int = 10) -> DataFrame:
     )
 
 
+def _sampled_cells(payload: bytes, n_cells: int) -> list[int]:
+    """Deterministic stand-in for decode + grayscale-resize: cell i is the
+    payload byte at the length-proportional position (i * len) // n_cells
+    — LOCALITY-preserving (an in-place byte edit moves only the cells
+    whose sample position lands inside it), which is what makes the
+    perceptual hashes behave like they would on a real decoder's pixel
+    grid. A real deployment swaps this for PIL resize + luma."""
+    n = len(payload)
+    return [payload[(i * n) // n_cells] for i in range(n_cells)]
+
+
+def _pack64(bits: list[int]) -> int:
+    """Bits (MSB first) → signed 64-bit int (Spark LongType)."""
+    val = 0
+    for b in bits:
+        val = (val << 1) | b
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def dhash64_py(payload: bytes) -> int:
+    """dHash (difference hash, Krawetz): 9x8 luma grid, bit (r, c) = 1 iff
+    cell (r, c) > cell (r, c+1) — 64 horizontal-gradient bits, robust to
+    brightness/scale changes on real images. Grid cells come from the
+    deterministic ``_sampled_cells`` stub (no codec in this container);
+    every step is recomputable in SQL over ASCII payloads, so the entry
+    query `media_dedup_phash` carries an exact DuckDB twin."""
+    if not payload:
+        return 0
+    cells = _sampled_cells(payload, 72)
+    bits = []
+    for r in range(8):
+        row = cells[r * 9 : (r + 1) * 9]
+        bits.extend(1 if row[c] > row[c + 1] else 0 for c in range(8))
+    return _pack64(bits)
+
+
+def ahash64_py(payload: bytes) -> int:
+    """aHash (average hash): 8x8 grid, bit i = 1 iff cell i is strictly
+    above the grid mean. The mean compare is exact integer arithmetic
+    (cell * 64 > sum) so a SQL twin needs no float."""
+    if not payload:
+        return 0
+    cells = _sampled_cells(payload, 64)
+    total = sum(cells)
+    return _pack64([1 if v * 64 > total else 0 for v in cells])
+
+
+_PHASH_KERNELS = {"dhash": dhash64_py, "ahash": ahash64_py}
+
+
+def make_phash_udf(method: str = "dhash"):
+    """Pandas UDF: binary payload → signed 64-bit perceptual hash."""
+    try:
+        kernel = _PHASH_KERNELS[method]
+    except KeyError:
+        raise ValueError(
+            f"unknown perceptual hash {method!r}; use one of "
+            f"{sorted(_PHASH_KERNELS)}"
+        )
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("bigint")
+    def phash(payloads: pd.Series) -> pd.Series:
+        return payloads.map(lambda p: kernel(bytes(p) if p is not None else b""))
+
+    return phash
+
+
+def media_near_duplicates(
+    media: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    method: str = "dhash",
+    max_hamming: int = 6,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Perceptual-hash near-duplicate media pairs (id_a, id_b, hamming) —
+    the image/frame dedup stage of a 100-TB pipeline, over the multimodal
+    payload column.
+
+    One Arrow-batched hash pass (O(items)), then the SAME banded Hamming
+    join the text simhash uses (operators/dedup.hamming_near_duplicates):
+    with the default n_blocks=8 > max_hamming=6 the pigeonhole makes
+    recall 100% on any corpus, so the DuckDB oracle asserts exact
+    all-pairs set equality (entry `media_dedup_phash`), like
+    `dedup_simhash_md5`. Video frames: run frame_sample_plan first and
+    use (media_ref, frame_idx) as the id."""
+    from mcp_crawl4ai_rag_spark.operators.dedup import hamming_near_duplicates
+
+    hashed = media.select(
+        F.col(id_col).alias("id"),
+        make_phash_udf(method)(F.col(payload_col)).alias("ph"),
+    )
+    return hamming_near_duplicates(hashed, "ph", "id", max_hamming, n_blocks)
+
+
 def media_from_spans(documents: DataFrame) -> DataFrame:
     """Pull media spans out of span documents into the media table shape
     (payload empty here — fetch of binaries is a separate source)."""

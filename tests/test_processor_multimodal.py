@@ -93,6 +93,79 @@ def test_media_plumbing(spark):
     assert all(f["media_ref"] == "media://b/2" for f in frames)
 
 
+def _phash_brute_pairs(payloads: dict, kernel, max_hamming: int):
+    """All-pairs Hamming over the Python kernel — the completeness oracle
+    the pigeonhole banding must equal exactly."""
+    sigs = {i: kernel(p) for i, p in payloads.items()}
+    mask = (1 << 64) - 1
+    out = set()
+    ids = sorted(sigs)
+    for ai, a in enumerate(ids):
+        for b in ids[ai + 1 :]:
+            h = bin((sigs[a] ^ sigs[b]) & mask).count("1")
+            if h <= max_hamming:
+                out.add((a, b, h))
+    return out
+
+
+def test_media_phash_dedup_planted(spark):
+    """dHash perceptual dedup: an in-place byte overwrite (same length)
+    keeps the pair within max_hamming (locality of the sampled grid);
+    the banded join equals the brute-force all-pairs set EXACTLY
+    (pigeonhole: n_blocks=8 > max_hamming=6); unrelated payloads are far."""
+    import random
+
+    rng = random.Random(11)
+    payloads = {}
+    for i in range(30):
+        base = bytes(rng.randrange(32, 127) for _ in range(400))
+        payloads[i] = base
+        # in-place 6-byte overwrite at a fixed offset, length preserved
+        payloads[i + 1000] = base[:50] + b"ZZZZZZ" + base[56:]
+    df = spark.createDataFrame(
+        [(k, v) for k, v in payloads.items()], "doc_id long, payload binary"
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in MM.media_near_duplicates(
+            df, "payload", "doc_id", method="dhash", max_hamming=6, n_blocks=8
+        ).collect()
+    }
+    want = _phash_brute_pairs(payloads, MM.dhash64_py, 6)
+    assert got == want
+    # every planted pair is found (locality: <=2 sampled cells move)
+    planted = {(i, i + 1000) for i in range(30)}
+    assert planted <= {(a, b) for a, b, _ in got}
+    # no cross-document pair sneaks under the threshold in this corpus
+    assert all((b - a) == 1000 for a, b, _ in got)
+
+
+def test_media_phash_ahash_and_errors(spark):
+    import random
+
+    rng = random.Random(7)
+    payloads = {}
+    for i in range(20):
+        base = bytes(rng.randrange(0, 256) for _ in range(300))
+        payloads[i] = base
+        payloads[i + 1000] = base[:30] + b"\x00\x00\x00\x00" + base[34:]
+    df = spark.createDataFrame(
+        [(k, v) for k, v in payloads.items()], "doc_id long, payload binary"
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in MM.media_near_duplicates(
+            df, "payload", "doc_id", method="ahash", max_hamming=5, n_blocks=6
+        ).collect()
+    }
+    assert got == _phash_brute_pairs(payloads, MM.ahash64_py, 5)
+    # deterministic kernels, empty-payload convention, error path
+    assert MM.dhash64_py(b"") == 0 and MM.ahash64_py(b"") == 0
+    assert MM.dhash64_py(b"abcdef" * 50) == MM.dhash64_py(b"abcdef" * 50)
+    with pytest.raises(ValueError, match="unknown perceptual hash"):
+        MM.make_phash_udf("phash9000")
+
+
 def test_media_from_spans(spark):
     from mcp_crawl4ai_rag_spark.sources.synthetic_web import generate_web
 
