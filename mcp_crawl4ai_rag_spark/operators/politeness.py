@@ -254,18 +254,34 @@ def budgeted_pop(
             .withColumn("pop_rank", F.row_number().over(w_global))
         )
     salt_col = F.pmod(F.xxhash64("url"), F.lit(salt_buckets)).cast("int")
+    keep_k = F.least(F.col("__budget"), F.lit(batch_size))
+    w_salt = Window.partitionBy("host", "__salt").orderBy(
+        F.desc("priority"), F.asc("seq")
+    )
+    w_host = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("seq"))
     if len(probe) <= broadcast_binding_max:
         # small binding set (the probe returned it whole): driver
         # round-trip is bounded by the threshold, broadcast join keeps
-        # bypass rows shuffle-free
+        # bypass rows shuffle-free — they skip BOTH windows and flow
+        # straight into the TakeOrderedAndProject heap.
         bud = pending.sparkSession.createDataFrame(
             probe, "host string, __budget long"
         )
         tagged = pending.join(F.broadcast(bud), "host", "left")
         bypass = tagged.where(F.col("__budget").isNull()).drop("__budget")
-        budgeted = tagged.where(F.col("__budget").isNotNull()).withColumn(
-            "__salt", salt_col
+        pruned = (
+            tagged.where(F.col("__budget").isNotNull())
+            .withColumn("__salt", salt_col)
+            .withColumn("__srank", F.row_number().over(w_salt))
+            .where(F.col("__srank") <= keep_k)
+            .drop("__salt", "__srank")
         )
+        eligible = (
+            pruned.withColumn("__hrank", F.row_number().over(w_host))
+            .where(F.col("__hrank") <= F.col("__budget"))
+            .drop("__budget", "__hrank")
+        )
+        out = bypass.unionByName(eligible)
     else:
         # binding set exceeds the broadcast threshold (the open-web
         # all-hosts-budgeted regime): never materialize it. Salt the join
@@ -274,7 +290,15 @@ def budgeted_pop(
         # half the frontier spreads over salt_buckets join tasks instead
         # of one, and (b) the join's hashpartitioning(host, __salt) is
         # exactly the salted window's partitioning: one exchange serves
-        # both.
+        # both. SINGLE-PASS shape: instead of a bypass/budgeted union
+        # (which makes Spark scan + exchange the whole frontier once per
+        # union arm), both windows run over the joined frame and
+        # unbudgeted rows pass the rank filters via the isnull(__budget)
+        # disjunct — row populations per (host[, salt]) partition are
+        # identical because a host is either wholly budgeted or wholly
+        # not, so ranks equal the two-branch formulation's exactly
+        # (pinned by test_distributed_branch_exactness).
+        unb = F.col("__budget").isNull()
         bud_s = binding_df.withColumn(
             "__salt",
             F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))),
@@ -282,29 +306,18 @@ def budgeted_pop(
         tagged = pending.withColumn("__salt", salt_col).join(
             bud_s, ["host", "__salt"], "left"
         )
-        bypass = tagged.where(F.col("__budget").isNull()).drop(
-            "__budget", "__salt"
+        pruned = (
+            tagged.withColumn("__srank", F.row_number().over(w_salt))
+            .where(unb | (F.col("__srank") <= keep_k))
+            .drop("__salt", "__srank")
         )
-        budgeted = tagged.where(F.col("__budget").isNotNull())
-
-    keep_k = F.least(F.col("__budget"), F.lit(batch_size))
-    w_salt = Window.partitionBy("host", "__salt").orderBy(
-        F.desc("priority"), F.asc("seq")
-    )
-    pruned = (
-        budgeted.withColumn("__srank", F.row_number().over(w_salt))
-        .where(F.col("__srank") <= keep_k)
-        .drop("__salt", "__srank")
-    )
-    w_host = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("seq"))
-    eligible = (
-        pruned.withColumn("__hrank", F.row_number().over(w_host))
-        .where(F.col("__hrank") <= F.col("__budget"))
-        .drop("__budget", "__hrank")
-    )
+        out = (
+            pruned.withColumn("__hrank", F.row_number().over(w_host))
+            .where(unb | (F.col("__hrank") <= F.col("__budget")))
+            .drop("__budget", "__hrank")
+        )
     return (
-        bypass.unionByName(eligible)
-        .orderBy(F.desc("priority"), F.asc("seq"))
+        out.orderBy(F.desc("priority"), F.asc("seq"))
         .limit(batch_size)
         .withColumn("pop_rank", F.row_number().over(w_global))
     )
