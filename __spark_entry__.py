@@ -1247,6 +1247,25 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination (GPT-3 appx-C / Gopher §A.3 n-gram
+    overlap): every 13th document stands in for the eval benchmark; a
+    training doc is contaminated when it shares >= 1 distinct 8-token
+    gram with that set. Spark joins on xxhash64(gram) (the hash, not the
+    string, broadcasts/shuffles); the DuckDB twin joins the gram STRINGS
+    — equal absent a 64-bit collision on the fixture (the
+    dedup_substring precedent)."""
+    from mcp_crawl4ai_rag_spark.operators.dedup import decontaminate
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = d.where((F.col("doc_id") % 13) == 0).select("text")
+    return (
+        decontaminate(d, ev, "text", "doc_id", n=8)
+        .where("contaminated")
+        .select("doc_id", "contaminated_grams")
+    )
+
+
 def q_media_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash (dHash) media near-dup over multimodal payloads:
     every 5th doc's text bytes stand in for an image payload; a second
@@ -1454,7 +1473,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s3_frontier_pop": q_s3_frontier_pop,
         "w1_per_host_budget": q_w1_per_host_budget,
         "s6_unprocessed_scan": q_s6_unprocessed_scan,
-        "j2_semi_join": q_j2_semi_join,
         "s5_cascade_delete": q_s5_cascade_delete,
         "a3_stats_rollup": q_a3_stats_rollup,
         "a4_histogram": q_a4_histogram,
@@ -1504,11 +1522,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_pipeline_neardup": q_training_pipeline_neardup,
         "ivf_fixed_ann": q_ivf_fixed_ann,
         "media_dedup_phash": q_media_dedup_phash,
+        # round 5: decontamination joins the window; j2_semi_join rotates
+        # out (trivial — the join family stays in-window via
+        # s6_unprocessed_scan's anti join and j4_hybrid_merge)
+        "decontaminate": q_decontaminate,
         # ---- position > 50: outside the driver's recording window ----
         # still fully oracled + hash-checked by scripts/check_entry.py
         # and tests/test_entry_gate.py — trivial scans rotated out above
         # (families covered in-window: s9 by s2/s3/s5/s6; a1/a5/a6 by
         # a3/a4; w6 by w1/w3/w4/w5)
+        "j2_semi_join": q_j2_semi_join,
         "s9_url_scan": q_s9_url_scan,
         "a1_pending_count": q_a1_pending_count,
         "a6_distinct_count": q_a6_distinct_count,
@@ -2633,6 +2656,25 @@ def oracle_sql() -> dict[str, str]:
             FROM counts
         """,
         "link_pagerank": _pagerank_oracle_sql(n_iter=8, damping=0.85),
+        "decontaminate": """
+            -- n=8 token grams; the oracle joins gram STRINGS where the
+            -- engine joins xxhash64(gram) — equal absent a 64-bit
+            -- collision on the fixture (dedup_substring precedent)
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            evg AS (
+              SELECT DISTINCT array_to_string(t[i:i+7], ' ') AS g
+              FROM (SELECT t, unnest(generate_series(1, len(t) - 7)) AS i
+                    FROM toks WHERE doc_id % 13 = 0) x),
+            dg AS (
+              SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS g
+              FROM (SELECT doc_id, t,
+                           unnest(generate_series(1, len(t) - 7)) AS i
+                    FROM toks) x)
+            SELECT doc_id, COUNT(*) AS contaminated_grams
+            FROM dg JOIN evg USING (g)
+            GROUP BY doc_id
+        """,
         "media_dedup_phash": r"""
             -- exact recomputation of the dHash perceptual signatures +
             -- all-pairs hamming. Corpus-INDEPENDENT equality: 8 blocks >

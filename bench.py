@@ -269,6 +269,81 @@ def run_schedule_bench(
     }
 
 
+def chunker_input(spark: SparkSession, sf_dir: str, replicas: int, repeat: int) -> DataFrame:
+    """Long-document chunker workload, generated JVM-side from the sf
+    documents table: each source doc is repeated ``repeat`` times (so the
+    multi-chunk split path actually runs — the raw sf docs average ~300
+    chars, under TARGET_CHUNK_SIZE) and replicated ``replicas`` times for
+    volume, each copy with a distinct url."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return (
+        docs.crossJoin(spark.range(replicas).withColumnRenamed("id", "rep"))
+        .select(
+            F.concat_ws(
+                "#", F.col("source"), F.col("doc_id").cast("string"),
+                F.col("rep").cast("string"),
+            ).alias("url"),
+            F.array_join(F.array_repeat(F.col("text"), repeat), "\n\n").alias(
+                "content"
+            ),
+        )
+    )
+
+
+def run_chunker_bench(spark: SparkSession, sf_dir: str, cpus: int) -> dict:
+    """C1 smart-chunker throughput (docs/s): the only per-row-sequential
+    Python kernel in the engine (inherent — the reference chunker is a
+    stateful scan over each doc, chunker.py:52-115 — but Arrow-batched
+    ACROSS docs, so it must scale with cores). scripts/chunker_bench.py
+    runs this at 1 vs 4 pinned cores for the scaling ratio.
+
+    Input: SPARK_GRAFT_CHUNK_INPUT parquet (pre-generated by the parent
+    so both pinned levels read the identical bytes), else generated
+    in-session. Timed section = parquet scan → smart_chunk pandas UDF →
+    posexplode → validity filter → count, best-of-N fresh runs after one
+    untimed 1/8 warm-up (same methodology as the admission pipeline)."""
+    from mcp_crawl4ai_rag_spark.functions.chunking import chunk_documents
+
+    t0 = time.time()
+    src = os.environ.get("SPARK_GRAFT_CHUNK_INPUT", "")
+    if src:
+        df = spark.read.parquet(src)
+    else:
+        replicas = int(os.environ.get("SPARK_GRAFT_CHUNK_REPLICAS", "30"))
+        repeat = int(os.environ.get("SPARK_GRAFT_CHUNK_REPEAT", "64"))
+        df = chunker_input(spark, sf_dir, replicas, repeat)
+    stats = df.select(
+        F.count("*").alias("n"), F.sum(F.length("content")).alias("chars")
+    ).first()
+    n_docs, n_chars = stats["n"], stats["chars"]
+    setup_sec = time.time() - t0
+
+    if os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0":
+        chunk_documents(df.limit(max(1, n_docs // 8))).count()
+
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    best, n_chunks = None, 0
+    for i in range(n_runs):
+        t = time.time()
+        n_chunks = chunk_documents(df).count()
+        dt = time.time() - t
+        print(f"chunker run {i}: {dt:.2f}s", file=sys.stderr, flush=True)
+        best = dt if best is None else min(best, dt)
+    return {
+        "metric": "chunker_docs_per_sec",
+        "value": round(n_docs / best, 1),
+        "unit": "docs/sec",
+        "queries": {},
+        "cpus": cpus,
+        "n_docs": n_docs,
+        "n_chunks": n_chunks,
+        "input_mb": round(n_chars / 1e6, 1),
+        "mb_per_sec": round(n_chars / 1e6 / best, 1),
+        "setup_sec": round(setup_sec, 3),
+        "chunk_sec": round(best, 3),
+    }
+
+
 def time_queries(spark: SparkSession, sf_dir: str) -> dict:
     """Steady-state per-query timings: each query runs
     SPARK_GRAFT_QUERY_RUNS times (default 2) and reports the best — the
@@ -351,6 +426,7 @@ def main() -> None:
     n_candidates = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", int(40_000_000 * sf)))
     n_seen = n_candidates // 2
     pipeline_only = "--pipeline-only" in sys.argv
+    chunker_only = "--chunker-only" in sys.argv
 
     # Shuffle partitions default to 2/core but are overridable so the
     # scaling bench can pin ONE value across its two parallelism levels —
@@ -368,6 +444,10 @@ def main() -> None:
         shuffle_partitions=shuffle_partitions,
     )
     spark.sparkContext.setLogLevel("ERROR")
+
+    if chunker_only:
+        print(json.dumps(run_chunker_bench(spark, sf_dir, cpus)))
+        return
 
     sched = run_schedule_bench(spark, n_candidates, n_seen)
     queries = {} if pipeline_only else time_queries(spark, sf_dir)

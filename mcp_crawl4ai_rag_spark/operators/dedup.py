@@ -1150,3 +1150,87 @@ def remove_duplicated_spans(
         F.size("__toks").cast("long").alias("n_tokens"),
         (F.size("__toks") - F.size(kept)).cast("long").alias("n_tokens_removed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Test-set decontamination (n-gram overlap vs an evaluation corpus)
+# ---------------------------------------------------------------------------
+
+
+def _distinct_gram_hashes(df: DataFrame, text_col: str, id_col: str | None, n: int) -> DataFrame:
+    """Distinct n-token-gram 64-bit hashes, optionally per document.
+
+    Same tokenization + gram construction as `_duplicated_hits` (split on
+    single space, `F.slice` over the token array, `xxhash64` of the
+    space-joined gram) so the whole overlap check stays JVM-side: the
+    hash — never the n-token string — is what shuffles or broadcasts.
+    """
+    toks = F.split(F.col(text_col), " ")
+    cols = [F.col(id_col).alias("doc_id")] if id_col else []
+    grams = df.select(
+        *cols,
+        F.explode(
+            F.when(
+                F.size(toks) >= n,
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            ).otherwise(F.expr("CAST(array() AS array<int>)"))
+        ).alias("pos"),
+        toks.alias("__toks"),
+    ).select(
+        *(["doc_id"] if id_col else []),
+        F.xxhash64(F.array_join(F.slice(F.col("__toks"), F.col("pos"), n), " ")).alias("g"),
+    )
+    return grams.distinct()
+
+
+def decontaminate(
+    df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    eval_text_col: str = "text",
+    n: int = 8,
+    min_hits: int = 1,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: flag every training document sharing
+    >= ``min_hits`` distinct ``n``-token grams with an evaluation corpus
+    (the GPT-3 appendix-C / Gopher §A.3 / Llama overlap rule — the stage
+    every production training pipeline runs between dedup and sampling;
+    the reference repo has no analogue, this is a training-data
+    extension).
+
+    Returns (doc_id, contaminated_grams, contaminated) for EVERY training
+    doc — callers drop `contaminated` rows or route them to an audit sink.
+
+    Scale shape at 100 TB: the training side is O(total tokens) exploded
+    gram hashes (uniform 64-bit keys, map-side `distinct` partial
+    aggregation prunes within-doc repeats before any exchange). Eval
+    benchmarks are tiny relative to the corpus (10^5-10^7 grams), so the
+    overlap check is a broadcast LEFT SEMI join — zero shuffle of the
+    training grams; `broadcast_eval=False` falls back to a plain
+    hash-partitioned semi join for pathologically large eval suites.
+    Nothing is ever all-pairs and no per-doc state leaves the JVM.
+    """
+    eval_grams = _distinct_gram_hashes(eval_df, eval_text_col, None, n)
+    if broadcast_eval:
+        eval_grams = F.broadcast(eval_grams)
+    doc_grams = _distinct_gram_hashes(df, text_col, id_col, n)
+    hits = (
+        doc_grams.join(eval_grams, "g", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("contaminated_grams"))
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("contaminated_grams"), F.lit(0)).alias(
+                "contaminated_grams"
+            ),
+            (F.coalesce(F.col("contaminated_grams"), F.lit(0)) >= min_hits).alias(
+                "contaminated"
+            ),
+        )
+    )

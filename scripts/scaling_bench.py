@@ -48,7 +48,26 @@ def run_level(cpus: int, n_urls: int, repeats: int = 1, pin: bool = True) -> dic
         cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
     best = None
     for _ in range(repeats):
-        out = subprocess.run(cmd, env=env, capture_output=True, text=True, check=True)
+        out = subprocess.run(cmd, env=env, capture_output=True, text=True)
+        if out.returncode != 0:
+            # surface the child's failure (a silent CalledProcessError
+            # hides the actual Spark/JVM error) and retry once — a
+            # level run is ~5-10 min; losing the whole pair to one
+            # transient executor hiccup wastes more than a retry costs
+            sys.stderr.write(
+                f"level cpus={cpus} failed (rc={out.returncode}); stderr tail:\n"
+                + "\n".join(out.stderr.splitlines()[-40:])
+                + "\n"
+            )
+            sys.stderr.flush()
+            out = subprocess.run(cmd, env=env, capture_output=True, text=True)
+            if out.returncode != 0:
+                sys.stderr.write(
+                    f"retry also failed (rc={out.returncode}); stderr tail:\n"
+                    + "\n".join(out.stderr.splitlines()[-40:])
+                    + "\n"
+                )
+                raise subprocess.CalledProcessError(out.returncode, cmd)
         line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
         r = json.loads(line)
         if best is None or r["pipeline_sec"] < best["pipeline_sec"]:
