@@ -306,9 +306,25 @@ def budgeted_pop(
         tagged = pending.withColumn("__salt", salt_col).join(
             bud_s, ["host", "__salt"], "left"
         )
+        # Unbudgeted rows are pre-pruned too, at the batch_size cap: a
+        # row whose salt-bucket rank exceeds batch_size has >= batch_size
+        # same-bucket rows ahead of it in the SAME (priority DESC, seq)
+        # order the global top-k uses, so it can never be emitted — the
+        # identical superset argument as the budgeted keep_k. Without
+        # this, a hot UNBUDGETED host would funnel its whole frontier
+        # share into one w_host task in this branch (the broadcast
+        # branch's bypass rows skip the windows entirely); with it, every
+        # host — budgeted or not — reaches w_host with at most
+        # salt_buckets * batch_size rows.
         pruned = (
             tagged.withColumn("__srank", F.row_number().over(w_salt))
-            .where(unb | (F.col("__srank") <= keep_k))
+            .where(
+                F.col("__srank")
+                <= F.least(
+                    F.coalesce(F.col("__budget"), F.lit(batch_size)),
+                    F.lit(batch_size),
+                )
+            )
             .drop("__salt", "__srank")
         )
         out = (

@@ -247,3 +247,66 @@ def test_hot_host_skew_plan_and_funnel_bound(spark):
     assert per_host["hot.h"] <= salt_buckets * keep_k
     # and the bound is far below the hot host's frontier share
     assert per_host["hot.h"] < n_hot_pending / 10
+
+
+def test_distributed_branch_unbudgeted_hot_host_bound(spark):
+    """Single-pass distributed branch (broadcast_binding_max=0), hot host
+    UNBUDGETED: unbudgeted rows must also be salt-pruned — at the
+    batch_size cap — before the exact (host) window, or the hot host
+    funnels its whole frontier share into one window task. Pins (a)
+    output exactness vs the sequential oracle in exactly this regime and
+    (b) the exact-window input bound <= salt_buckets * batch_size for
+    the unbudgeted hot host (recomputed with the operator's own
+    expressions: left join vs exploded binding budgets, then the salted
+    rank filter at least(coalesce(budget, batch), batch))."""
+    from pyspark.sql import Window
+
+    rng = random.Random(7)
+    hosts_list = ["hot.h", "a.h", "b.h", "c.h"]
+    rows = make_rows(rng, 6000, hosts_list)  # ~50% land on hot.h
+    budgets = {"a.h": 5, "b.h": 5, "c.h": 5}  # hot.h has NO budget row
+    batch_size, salt_buckets = 20, 4
+
+    # (a) exactness with the distributed branch forced
+    run_case(
+        spark,
+        budgets,
+        batch_size=batch_size,
+        salt_buckets=salt_buckets,
+        broadcast_binding_max=0,
+    )
+
+    # (b) survivor bound for the unbudgeted hot host
+    pending = spark.createDataFrame(
+        rows, "url string, host string, depth int, priority int, seq long"
+    )
+    binding = spark.createDataFrame(
+        [(h, b) for h, b in budgets.items()], "host string, __budget long"
+    ).withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))))
+    w_salt = Window.partitionBy("host", "__salt").orderBy(
+        F.desc("priority"), F.asc("seq")
+    )
+    survivors = (
+        pending.withColumn(
+            "__salt", F.pmod(F.xxhash64("url"), F.lit(salt_buckets)).cast("int")
+        )
+        .join(binding, ["host", "__salt"], "left")
+        .withColumn("__srank", F.row_number().over(w_salt))
+        .where(
+            F.col("__srank")
+            <= F.least(
+                F.coalesce(F.col("__budget"), F.lit(batch_size)),
+                F.lit(batch_size),
+            )
+        )
+        .groupBy("host")
+        .count()
+        .collect()
+    )
+    per_host = {r["host"]: r["count"] for r in survivors}
+    n_hot = sum(1 for r in rows if r[1] == "hot.h")
+    assert n_hot > 2500  # skew premise
+    assert per_host["hot.h"] <= salt_buckets * batch_size
+    assert per_host["hot.h"] < n_hot / 10
+    for h, b in budgets.items():  # budgeted hosts keep the tighter bound
+        assert per_host[h] <= salt_buckets * min(b, batch_size)
