@@ -1266,6 +1266,40 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_recrawl_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness-driven recrawl scheduling (Cho & Garcia-Molina change-
+    rate estimator): visit history synthesized deterministically from
+    orders (visits/changes/interval/age as modular arithmetic on
+    o_orderkey), top-200 recrawl wave. Pure Column ln/exp — both sides
+    round to 6dp (the pagerank/bm25 float-parity precedent); url breaks
+    priority ties so the LIMIT boundary is a total order."""
+    from mcp_crawl4ai_rag_spark.operators.freshness import recrawl_priorities
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey")
+    hist = o.select(
+        F.concat(
+            F.lit("https://h"), F.pmod("o_orderkey", 97).cast("string"),
+            F.lit(".example.org/p/"), F.col("o_orderkey").cast("string"),
+        ).alias("url"),
+        F.concat(
+            F.lit("h"), F.pmod("o_orderkey", 97).cast("string"),
+            F.lit(".example.org"),
+        ).alias("host"),
+        (F.lit(1) + F.pmod("o_orderkey", 5)).cast("int").alias("base_priority"),
+        (F.lit(1) + F.pmod("o_orderkey", 8)).cast("int").alias("n_visits"),
+        F.least(F.pmod("o_orderkey", 5), F.lit(1) + F.pmod("o_orderkey", 8))
+        .cast("int")
+        .alias("n_changes"),
+        (F.lit(1.0) + F.pmod("o_orderkey", 14)).alias("avg_interval"),
+        F.pmod("o_orderkey", 30).cast("double").alias("age"),
+    )
+    return (
+        recrawl_priorities(hist)
+        .orderBy(F.desc("recrawl_priority"), "url")
+        .limit(200)
+    )
+
+
 def q_media_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash (dHash) media near-dup over multimodal payloads:
     every 5th doc's text bytes stand in for an image payload; a second
@@ -1476,7 +1510,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s5_cascade_delete": q_s5_cascade_delete,
         "a3_stats_rollup": q_a3_stats_rollup,
         "a4_histogram": q_a4_histogram,
-        "w3_largest_docs": q_w3_largest_docs,
         "w4_vector_topk": q_w4_vector_topk,
         "w5_keyword_search": q_w5_keyword_search,
         "j4_hybrid_merge": q_j4_hybrid_merge,
@@ -1522,16 +1555,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_pipeline_neardup": q_training_pipeline_neardup,
         "ivf_fixed_ann": q_ivf_fixed_ann,
         "media_dedup_phash": q_media_dedup_phash,
-        # round 5: decontamination joins the window; j2_semi_join rotates
-        # out (trivial — the join family stays in-window via
-        # s6_unprocessed_scan's anti join and j4_hybrid_merge)
+        # round 5: decontamination + recrawl scheduling join the window;
+        # j2_semi_join and w3_largest_docs rotate out (trivial — joins
+        # stay covered in-window by s6's anti join + j4, windows/top-k by
+        # w1/w4/w5/s3/bm25)
         "decontaminate": q_decontaminate,
+        "recrawl_priorities": q_recrawl_priorities,
         # ---- position > 50: outside the driver's recording window ----
         # still fully oracled + hash-checked by scripts/check_entry.py
         # and tests/test_entry_gate.py — trivial scans rotated out above
         # (families covered in-window: s9 by s2/s3/s5/s6; a1/a5/a6 by
         # a3/a4; w6 by w1/w3/w4/w5)
         "j2_semi_join": q_j2_semi_join,
+        "w3_largest_docs": q_w3_largest_docs,
         "s9_url_scan": q_s9_url_scan,
         "a1_pending_count": q_a1_pending_count,
         "a6_distinct_count": q_a6_distinct_count,
@@ -2656,6 +2692,34 @@ def oracle_sql() -> dict[str, str]:
             FROM counts
         """,
         "link_pagerank": _pagerank_oracle_sql(n_iter=8, damping=0.85),
+        "recrawl_priorities": """
+            -- Cho & Garcia-Molina bias-corrected change-rate estimator,
+            -- exact recomputation; 6dp rounding on both sides (the
+            -- pagerank/bm25 float-parity precedent)
+            WITH h AS (
+              SELECT 'https://h' || (o_orderkey % 97) || '.example.org/p/'
+                       || o_orderkey AS url,
+                     'h' || (o_orderkey % 97) || '.example.org' AS host,
+                     1 + o_orderkey % 5 AS base_priority,
+                     1 + o_orderkey % 8 AS n_visits,
+                     LEAST(o_orderkey % 5, 1 + o_orderkey % 8) AS n_changes,
+                     CAST(1.0 + o_orderkey % 14 AS DOUBLE) AS avg_interval,
+                     CAST(o_orderkey % 30 AS DOUBLE) AS age
+              FROM orders),
+            s AS (
+              SELECT url, host, age, base_priority,
+                     -ln((n_visits - n_changes + 0.5) / (n_visits + 0.5))
+                       / avg_interval AS lam
+              FROM h)
+            SELECT url, host,
+                   ROUND(lam, 6) AS change_rate,
+                   ROUND(1.0 - exp(-lam * age), 6) AS p_changed,
+                   ROUND(base_priority * (1.0 - exp(-lam * age)), 6)
+                     AS recrawl_priority
+            FROM s
+            ORDER BY ROUND(base_priority * (1.0 - exp(-lam * age)), 6) DESC, url
+            LIMIT 200
+        """,
         "decontaminate": """
             -- n=8 token grams; the oracle joins gram STRINGS where the
             -- engine joins xxhash64(gram) — equal absent a 64-bit
