@@ -1267,34 +1267,57 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_recrawl_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Freshness-driven recrawl scheduling (Cho & Garcia-Molina change-
-    rate estimator): visit history synthesized deterministically from
-    orders (visits/changes/interval/age as modular arithmetic on
-    o_orderkey), top-200 recrawl wave. Pure Column ln/exp — both sides
-    round to 6dp (the pagerank/bm25 float-parity precedent); url breaks
-    priority ties so the LIMIT boundary is a total order."""
-    from mcp_crawl4ai_rag_spark.operators.freshness import recrawl_priorities
+    """The full freshness loop: a raw visit LOG (one row per fetch with
+    the content fingerprint observed, synthesized deterministically from
+    orders — 1-4 visits per URL; pages static / changing every visit /
+    changing every other visit by o_orderkey % 3) folded by
+    `visit_history` into per-URL change statistics, then scored by
+    `recrawl_priorities` (Cho & Garcia-Molina change-rate estimator,
+    transitions as the sample count); top-200 recrawl wave. Pure Column
+    lag-window + fold + ln/exp — both sides round to 6dp (the
+    pagerank/bm25 float-parity precedent); url breaks priority ties so
+    the LIMIT boundary is a total order."""
+    from mcp_crawl4ai_rag_spark.operators.freshness import (
+        recrawl_priorities,
+        visit_history,
+    )
 
     o = _t(spark, sf_dir, "orders").select("o_orderkey")
-    hist = o.select(
-        F.concat(
-            F.lit("https://h"), F.pmod("o_orderkey", 97).cast("string"),
-            F.lit(".example.org/p/"), F.col("o_orderkey").cast("string"),
-        ).alias("url"),
+    url = F.concat(
+        F.lit("https://h"), F.pmod("o_orderkey", 97).cast("string"),
+        F.lit(".example.org/p/"), F.col("o_orderkey").cast("string"),
+    )
+    log = o.select(
+        "o_orderkey",
+        F.explode(
+            F.sequence(F.lit(1), F.lit(1) + F.pmod("o_orderkey", 4))
+        ).alias("v"),
+    ).select(
+        url.alias("url"),
         F.concat(
             F.lit("h"), F.pmod("o_orderkey", 97).cast("string"),
             F.lit(".example.org"),
         ).alias("host"),
-        (F.lit(1) + F.pmod("o_orderkey", 5)).cast("int").alias("base_priority"),
-        (F.lit(1) + F.pmod("o_orderkey", 8)).cast("int").alias("n_visits"),
-        F.least(F.pmod("o_orderkey", 5), F.lit(1) + F.pmod("o_orderkey", 8))
-        .cast("int")
-        .alias("n_changes"),
-        (F.lit(1.0) + F.pmod("o_orderkey", 14)).alias("avg_interval"),
-        F.pmod("o_orderkey", 30).cast("double").alias("age"),
+        F.when(F.pmod("o_orderkey", 3) == 0, F.lit("static"))
+        .when(
+            F.pmod("o_orderkey", 3) == 1,
+            F.concat(F.lit("v"), F.col("v").cast("string")),
+        )
+        .otherwise(
+            F.concat(F.lit("v"), F.floor(F.col("v") / 2).cast("string"))
+        )
+        .alias("fingerprint"),
+        (F.col("v") * (F.lit(1) + F.pmod("o_orderkey", 7)))
+        .cast("double")
+        .alias("ts"),
     )
+    base = o.select(
+        url.alias("url"),
+        (F.lit(1) + F.pmod("o_orderkey", 5)).cast("int").alias("base_priority"),
+    )
+    hist = visit_history(log, now=40.0).join(base, "url")
     return (
-        recrawl_priorities(hist)
+        recrawl_priorities(hist, n_visits_col="n_samples")
         .orderBy(F.desc("recrawl_priority"), "url")
         .limit(200)
     )
@@ -2693,31 +2716,49 @@ def oracle_sql() -> dict[str, str]:
         """,
         "link_pagerank": _pagerank_oracle_sql(n_iter=8, damping=0.85),
         "recrawl_priorities": """
-            -- Cho & Garcia-Molina bias-corrected change-rate estimator,
+            -- full freshness loop: visit-log fold (lag-window change
+            -- flags -> per-URL stats) + Cho & Garcia-Molina estimator,
             -- exact recomputation; 6dp rounding on both sides (the
             -- pagerank/bm25 float-parity precedent)
-            WITH h AS (
-              SELECT 'https://h' || (o_orderkey % 97) || '.example.org/p/'
-                       || o_orderkey AS url,
-                     'h' || (o_orderkey % 97) || '.example.org' AS host,
-                     1 + o_orderkey % 5 AS base_priority,
-                     1 + o_orderkey % 8 AS n_visits,
-                     LEAST(o_orderkey % 5, 1 + o_orderkey % 8) AS n_changes,
-                     CAST(1.0 + o_orderkey % 14 AS DOUBLE) AS avg_interval,
-                     CAST(o_orderkey % 30 AS DOUBLE) AS age
+            WITH v AS (
+              SELECT o_orderkey AS k,
+                     unnest(generate_series(1, 1 + o_orderkey % 4)) AS visit
               FROM orders),
+            log AS (
+              SELECT 'https://h' || (k % 97) || '.example.org/p/' || k AS url,
+                     'h' || (k % 97) || '.example.org' AS host,
+                     k,
+                     CASE WHEN k % 3 = 0 THEN 'static'
+                          WHEN k % 3 = 1 THEN 'v' || visit
+                          ELSE 'v' || (visit // 2) END AS fingerprint,
+                     CAST(visit * (1 + k % 7) AS DOUBLE) AS ts
+              FROM v),
+            fl AS (
+              SELECT url, host, k, ts,
+                     CASE WHEN lag(fingerprint)
+                              OVER (PARTITION BY url ORDER BY ts) IS NOT NULL
+                           AND fingerprint <> lag(fingerprint)
+                              OVER (PARTITION BY url ORDER BY ts)
+                          THEN 1 ELSE 0 END AS changed
+              FROM log),
+            h AS (
+              SELECT url, host, MAX(k) AS k,
+                     COUNT(*) - 1 AS n_samples, SUM(changed) AS x,
+                     CASE WHEN COUNT(*) > 1
+                          THEN (MAX(ts) - MIN(ts)) / (COUNT(*) - 1)
+                          ELSE 1.0 END AS dt,
+                     40.0 - MAX(ts) AS age
+              FROM fl GROUP BY url, host),
             s AS (
-              SELECT url, host, age, base_priority,
-                     -ln((n_visits - n_changes + 0.5) / (n_visits + 0.5))
-                       / avg_interval AS lam
+              SELECT url, host, age, 1 + k % 5 AS base,
+                     -ln((n_samples - x + 0.5) / (n_samples + 0.5)) / dt AS lam
               FROM h)
             SELECT url, host,
                    ROUND(lam, 6) AS change_rate,
                    ROUND(1.0 - exp(-lam * age), 6) AS p_changed,
-                   ROUND(base_priority * (1.0 - exp(-lam * age)), 6)
-                     AS recrawl_priority
+                   ROUND(base * (1.0 - exp(-lam * age)), 6) AS recrawl_priority
             FROM s
-            ORDER BY ROUND(base_priority * (1.0 - exp(-lam * age)), 6) DESC, url
+            ORDER BY ROUND(base * (1.0 - exp(-lam * age)), 6) DESC, url
             LIMIT 200
         """,
         "decontaminate": """

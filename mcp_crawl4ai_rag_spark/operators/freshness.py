@@ -50,6 +50,61 @@ def change_rate(n_visits: Column, n_changes: Column, avg_interval: Column) -> Co
     )
 
 
+def visit_history(
+    visits: DataFrame,
+    now: float,
+    url_col: str = "url",
+    host_col: str = "host",
+    fingerprint_col: str = "fingerprint",
+    ts_col: str = "ts",
+    default_interval: float = 1.0,
+) -> DataFrame:
+    """Fold a raw visit log — one row per (url, fetch) with the content
+    fingerprint observed — into the per-URL history `recrawl_priorities`
+    consumes.
+
+    Emits (url, host, n_visits, n_samples, n_changes, avg_interval, age):
+    `n_samples` = n_visits - 1 is the number of change OPPORTUNITIES
+    (fingerprint transitions between consecutive visits) and `n_changes`
+    how many of those transitions actually differed — the (n, X) pair
+    the Cho & Garcia-Molina estimator expects. Single-visit URLs get
+    n_samples = 0, which the estimator maps to rate 0 (no evidence);
+    `avg_interval` falls back to ``default_interval`` for them so the
+    column stays non-null. `age` = now - last_ts. ``now`` is an explicit
+    caller argument (deterministic jobs; no wall-clock in the engine).
+
+    Scale shape: one exchange on the uniform url key serves BOTH the
+    lag window and the fold — Catalyst reuses hashpartitioning(url), so
+    the groupBy adds no second shuffle. No UDF anywhere.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(url_col).orderBy(ts_col)
+    flagged = visits.select(
+        F.col(url_col).alias("url"),
+        F.col(host_col).alias("host"),
+        F.col(ts_col).cast("double").alias("__ts"),
+        (
+            F.lag(F.col(fingerprint_col)).over(w).isNotNull()
+            & (F.col(fingerprint_col) != F.lag(F.col(fingerprint_col)).over(w))
+        )
+        .cast("int")
+        .alias("__changed"),
+    )
+    n = F.count("*")
+    return flagged.groupBy("url", "host").agg(
+        n.cast("int").alias("n_visits"),
+        (n - F.lit(1)).cast("int").alias("n_samples"),
+        F.sum("__changed").cast("int").alias("n_changes"),
+        F.when(
+            n > 1, (F.max("__ts") - F.min("__ts")) / (n - F.lit(1)).cast("double")
+        )
+        .otherwise(F.lit(float(default_interval)))
+        .alias("avg_interval"),
+        (F.lit(float(now)) - F.max("__ts")).alias("age"),
+    )
+
+
 def recrawl_priorities(
     history: DataFrame,
     url_col: str = "url",
