@@ -50,7 +50,25 @@ def run_level(spark, n_pages: int, batch: int, max_rounds: int) -> dict:
     eng.profile_rounds = True
     eng.seed(web.seeds)
     t = time.time()
-    ms = eng.run(max_rounds=max_rounds)
+    # Chunk the crawl and drain stale shuffle state between chunks (the
+    # bench.py drain_shuffle_state mechanism, documented in
+    # BENCH/BASELINE.md round-4 notes): shuffle files + map-output
+    # tracker entries are freed by the ContextCleaner only on a driver
+    # GC, and a mostly-empty driver heap can go a whole multi-level
+    # session without one — the accumulated state then inflates LATE
+    # rounds of the big level, which reads as O(rounds) growth that
+    # isn't the engine's. The drain sits BETWEEN rounds (per-round phase
+    # timings are measured inside round()), exactly like a long-lived
+    # driver GC-ing between jobs; wall_sec honestly includes it.
+    ms: list = []
+    while len(ms) < max_rounds:
+        want = min(8, max_rounds - len(ms))
+        chunk = eng.run(max_rounds=want)
+        ms.extend(chunk)
+        if len(chunk) < want:
+            break  # frontier drained
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(0.3)
     wall = time.time() - t
     corpus.unpersist()
     totals = [m["phases"]["total"] for m in ms]
