@@ -1323,6 +1323,20 @@ def q_recrawl_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surgical decontamination (operators/dedup.decontaminate_spans):
+    same eval split as `decontaminate` (every 13th doc), but instead of
+    dropping flagged docs, cut ONLY the tokens covered by an
+    eval-overlapping 8-gram window. DuckDB twin replays positional
+    string-gram hits + the token cut (the dedup_substring_removal
+    idiom)."""
+    from mcp_crawl4ai_rag_spark.operators.dedup import decontaminate_spans
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = d.where((F.col("doc_id") % 13) == 0).select("text")
+    return decontaminate_spans(d, ev, "text", "doc_id", n=8)
+
+
 def q_media_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash (dHash) media near-dup over multimodal payloads:
     every 5th doc's text bytes stand in for an image payload; a second
@@ -1538,7 +1552,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j4_hybrid_merge": q_j4_hybrid_merge,
         "so4_except_all": q_so4_except_all,
         "p1_canonicalize": q_p1_canonicalize,
-        "p2_malformed_filter": q_p2_malformed_filter,
         "p10_url_router": q_p10_url_router,
         "p4_error_split": q_p4_error_split,
         "dedup_exact": q_dedup_exact,
@@ -1578,11 +1591,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_pipeline_neardup": q_training_pipeline_neardup,
         "ivf_fixed_ann": q_ivf_fixed_ann,
         "media_dedup_phash": q_media_dedup_phash,
-        # round 5: decontamination + recrawl scheduling join the window;
-        # j2_semi_join and w3_largest_docs rotate out (trivial — joins
-        # stay covered in-window by s6's anti join + j4, windows/top-k by
-        # w1/w4/w5/s3/bm25)
+        # round 5: decontamination (doc-level + surgical span removal)
+        # and recrawl scheduling join the window; j2_semi_join,
+        # w3_largest_docs and p2_malformed_filter rotate out (trivial —
+        # joins stay covered in-window by s6's anti join + j4,
+        # windows/top-k by w1/w4/w5/s3/bm25, the P family by
+        # p1/p4/p10)
         "decontaminate": q_decontaminate,
+        "decontaminate_spans": q_decontaminate_spans,
         "recrawl_priorities": q_recrawl_priorities,
         # ---- position > 50: outside the driver's recording window ----
         # still fully oracled + hash-checked by scripts/check_entry.py
@@ -1591,6 +1607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # a3/a4; w6 by w1/w3/w4/w5)
         "j2_semi_join": q_j2_semi_join,
         "w3_largest_docs": q_w3_largest_docs,
+        "p2_malformed_filter": q_p2_malformed_filter,
         "s9_url_scan": q_s9_url_scan,
         "a1_pending_count": q_a1_pending_count,
         "a6_distinct_count": q_a6_distinct_count,
@@ -2779,6 +2796,51 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, COUNT(*) AS contaminated_grams
             FROM dg JOIN evg USING (g)
             GROUP BY doc_id
+        """,
+        "decontaminate_spans": """
+            -- surgical removal twin: positional string-gram hits vs the
+            -- eval set, then the dedup_substring_removal token-cut idiom
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            evg AS (
+              SELECT DISTINCT array_to_string(t[i:i+7], ' ') AS g
+              FROM (SELECT t, unnest(generate_series(1, len(t) - 7)) AS i
+                    FROM toks WHERE doc_id % 13 = 0) x),
+            dg AS (
+              SELECT doc_id, CAST(i AS INTEGER) AS pos,
+                     array_to_string(t[i:i+7], ' ') AS g
+              FROM (SELECT doc_id, t,
+                           unnest(generate_series(1, len(t) - 7)) AS i
+                    FROM toks) x),
+            rm AS (
+              SELECT DISTINCT doc_id, pos FROM dg JOIN evg USING (g)),
+            tok_idx AS (
+              SELECT doc_id, CAST(i AS INTEGER) AS i, t[i] AS tok
+              FROM (SELECT doc_id, t,
+                           unnest(generate_series(1, len(t))) AS i
+                    FROM toks) z),
+            removed AS (
+              SELECT DISTINCT tk.doc_id, tk.i
+              FROM tok_idx tk JOIN rm
+                ON tk.doc_id = rm.doc_id
+               AND tk.i BETWEEN rm.pos AND rm.pos + 7),
+            kept AS (
+              SELECT t.doc_id, t.i, t.tok
+              FROM tok_idx t LEFT JOIN removed r
+                ON t.doc_id = r.doc_id AND t.i = r.i
+              WHERE r.i IS NULL),
+            agg AS (
+              SELECT doc_id,
+                     string_agg(tok, ' ' ORDER BY i) AS cleaned_text,
+                     COUNT(*) AS n_kept
+              FROM kept GROUP BY doc_id)
+            SELECT d.doc_id,
+                   COALESCE(a.cleaned_text, '') AS cleaned_text,
+                   CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(len(string_split(d.text, ' '))
+                        - COALESCE(a.n_kept, 0) AS BIGINT)
+                     AS n_tokens_removed
+            FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
         "media_dedup_phash": r"""
             -- exact recomputation of the dHash perceptual signatures +

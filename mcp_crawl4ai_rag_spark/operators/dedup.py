@@ -1122,6 +1122,23 @@ def remove_duplicated_spans(
         .select("doc_id", "pos")
         .distinct()
     )
+    return _cut_token_windows(df, text_col, id_col, removable, k)
+
+
+def _cut_token_windows(
+    df: DataFrame, text_col: str, id_col: str, removable: DataFrame, k: int
+) -> DataFrame:
+    """Cut every token covered by a removal window: ``removable`` is
+    (doc_id, pos) start positions (1-based) and each window spans
+    [pos, pos+k-1]. Returns (doc_id, cleaned_text, n_tokens,
+    n_tokens_removed); docs with no windows pass through unchanged.
+
+    Pure Column cut: removal positions aggregate per doc (collect_list
+    bounded by doc length), then token i survives unless some window
+    covers it (F.exists over the per-doc array — O(tokens ×
+    removals_per_doc), both bounded by doc length, never corpus size).
+    Shared by `remove_duplicated_spans` and `decontaminate_spans`.
+    """
     per_doc = removable.groupBy("doc_id").agg(F.collect_list("pos").alias("__rm")).select(
         F.col("doc_id").alias("__rm_id"), "__rm"
     )
@@ -1155,6 +1172,28 @@ def remove_duplicated_spans(
 # ---------------------------------------------------------------------------
 # Test-set decontamination (n-gram overlap vs an evaluation corpus)
 # ---------------------------------------------------------------------------
+
+
+def _positional_gram_hashes(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(doc_id, pos, g): every n-token gram's 64-bit hash WITH its 1-based
+    start position — the front half of `_duplicated_hits` without the
+    document-frequency reduction, for span-level operators that must map
+    a gram hit back to the tokens it covers."""
+    toks = F.split(F.col(text_col), " ")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.when(
+                F.size(toks) >= n,
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            ).otherwise(F.expr("CAST(array() AS array<int>)"))
+        ).alias("pos"),
+        toks.alias("__toks"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.xxhash64(F.array_join(F.slice(F.col("__toks"), F.col("pos"), n), " ")).alias("g"),
+    )
 
 
 def _distinct_gram_hashes(df: DataFrame, text_col: str, id_col: str | None, n: int) -> DataFrame:
@@ -1234,3 +1273,41 @@ def decontaminate(
             ),
         )
     )
+
+
+def decontaminate_spans(
+    df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    eval_text_col: str = "text",
+    n: int = 8,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Surgical decontamination: instead of dropping a contaminated
+    document wholesale (`decontaminate`), cut ONLY the tokens covered by
+    an eval-overlapping n-gram window and keep the rest — the removal
+    counterpart, exactly as `remove_duplicated_spans` is to
+    `duplicated_token_spans` (and with the same one-pass caveat: the cut
+    can create new grams across the splice boundary; rerun to a fixed
+    point if the threat model demands it, as in Lee et al. substring
+    removal).
+
+    Returns (doc_id, cleaned_text, n_tokens, n_tokens_removed) for every
+    training doc. Scale shape: positional gram hashes are O(total
+    tokens) with uniform 64-bit keys; the overlap check is the same
+    broadcast LEFT SEMI as `decontaminate` (eval side is the only
+    broadcast; `broadcast_eval=False` falls back to a hash-partitioned
+    semi join); removal windows and the token cut are per-doc bounded
+    (`_cut_token_windows`). Nothing is all-pairs, no per-row Python.
+    """
+    eval_grams = _distinct_gram_hashes(eval_df, eval_text_col, None, n)
+    if broadcast_eval:
+        eval_grams = F.broadcast(eval_grams)
+    hits = (
+        _positional_gram_hashes(df, text_col, id_col, n)
+        .join(eval_grams, "g", "left_semi")
+        .select("doc_id", "pos")
+        .distinct()
+    )
+    return _cut_token_windows(df, text_col, id_col, hits, n)

@@ -93,3 +93,68 @@ def test_plan_broadcasts_eval_side(spark):
     # the training-side gram relation must not be broadcast: the semi
     # join's build side is the eval grams (the only broadcast exchange)
     assert plan.count("BroadcastExchange") == 1
+
+
+def _brute_spans(docs, evals, n):
+    """Brute-force surgical removal: cut token j iff some window
+    [p, p+n-1] with gram(p) in the eval set covers it."""
+    eval_grams = set()
+    for t in evals:
+        eval_grams |= _grams(t, n)
+    out = {}
+    for i, t in docs:
+        toks = t.split(" ")
+        starts = [
+            p
+            for p in range(len(toks) - n + 1)
+            if " ".join(toks[p : p + n]) in eval_grams
+        ]
+        cut = set()
+        for p in starts:
+            cut.update(range(p, p + n))
+        kept = [tok for j, tok in enumerate(toks) if j not in cut]
+        out[i] = (" ".join(kept), len(toks), len(toks) - len(kept))
+    return out
+
+
+def test_spans_match_bruteforce(spark):
+    from mcp_crawl4ai_rag_spark.operators.dedup import decontaminate_spans
+
+    docs, evals = _mk_corpus()
+    n = 8
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    ev = spark.createDataFrame([(t,) for t in evals], ["text"])
+    got = {
+        r["doc_id"]: (r["cleaned_text"], r["n_tokens"], r["n_tokens_removed"])
+        for r in decontaminate_spans(df, ev, "text", "doc_id", n=n).collect()
+    }
+    want = _brute_spans(docs, evals, n)
+    assert got == want
+    # the surgical property: contaminated docs keep their clean tokens
+    # (doc 2 = "intro words then <leak> trailing words after")
+    assert got[2][2] > 0 and got[2][0].startswith("intro words")
+    assert got[2][0].endswith("after") or got[2][0].endswith("words after")
+    # clean docs pass through byte-identical
+    assert got[1] == (docs[1][1], len(docs[1][1].split(" ")), 0)
+
+
+def test_spans_consistent_with_doc_level_flags(spark):
+    """A doc loses tokens iff the doc-level operator flags it."""
+    from mcp_crawl4ai_rag_spark.operators.dedup import (
+        decontaminate,
+        decontaminate_spans,
+    )
+
+    docs, evals = _mk_corpus()
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    ev = spark.createDataFrame([(t,) for t in evals], ["text"])
+    flags = {
+        r["doc_id"]: r["contaminated"]
+        for r in decontaminate(df, ev, "text", "doc_id").collect()
+    }
+    removed = {
+        r["doc_id"]: r["n_tokens_removed"]
+        for r in decontaminate_spans(df, ev, "text", "doc_id").collect()
+    }
+    for i in flags:
+        assert (removed[i] > 0) == flags[i], i
