@@ -49,6 +49,8 @@ def generate_input(sf_dir: str) -> None:
 def run_level(cpus: int) -> dict:
     env = dict(
         os.environ,
+        # workers need the repo on PYTHONPATH regardless of launch cwd
+        PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""),
         SPARK_GRAFT_CPUS=str(cpus),
         SPARK_GRAFT_CHUNK_INPUT=INPUT,
         SPARK_GRAFT_BENCH_RUNS="1",

@@ -31,6 +31,10 @@ def run_level(cpus: int, n_urls: int, repeats: int = 1, pin: bool = True) -> dic
     """
     env = dict(
         os.environ,
+        # UDF workers resolve imports via PYTHONPATH/cwd, not the
+        # driver's sys.path — without this the child only works when
+        # launched from the repo root (ModuleNotFoundError otherwise)
+        PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""),
         SPARK_GRAFT_CPUS=str(cpus),
         SPARK_GRAFT_BENCH_URLS=str(n_urls),
         SPARK_GRAFT_SF_DIR=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
