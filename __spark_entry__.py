@@ -19,8 +19,21 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, spread: str | None = None
+) -> DataFrame:
+    """Read one sf table. ``spread=<key col>`` re-spreads an under-split
+    scan (the sf parquet files arrive as 1-6 row groups, so bare scans
+    plan 1-6 tasks) across the session before heavy per-row compute —
+    a no-op when the scan already plans full-width (real-scale inputs).
+    Only queries whose dominant cost sits below their first exchange
+    opt in; cheap/shuffle-bound queries keep their exact round-5 plans."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if spread:
+        from mcp_crawl4ai_rag_spark.partitioning import spread_for_compute
+
+        df = spread_for_compute(df, spread)
+    return df
 
 
 def _doc_url(col_source, col_id):
@@ -57,16 +70,24 @@ _CANDIDATE_URLS_SQL = """
 
 
 def _malformed_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
+    from mcp_crawl4ai_rag_spark.partitioning import compute_barrier
+
+    o = _t(spark, sf_dir, "orders", spread="o_orderkey")
     k = F.col("o_orderkey")
+    # compute_barrier: the url CASE feeds a 7-conjunct malformed filter
+    # downstream — without the barrier Catalyst inlines the CASE into
+    # every conjunct AND pushes the filter below the spread exchange,
+    # re-serializing the work onto the 2-row-group scan (~14 evals/row
+    # on 2 tasks). Value is unchanged; the CASE now runs once per row.
     return o.select(
         k.alias("key"),
-        F.when(k % 5 == 1, F.concat(F.lit("https://a.comhttps://a.com/"), k.cast("string")))
-        .when(k % 5 == 2, F.concat(F.lit("https://a.com/%ef%bb%bf/"), k.cast("string")))
-        .when(k % 5 == 3, F.concat(F.lit("https://a.com/"), F.repeat(F.lit("z"), 220)))
-        .when(k % 5 == 4, F.concat(F.lit("https://a.com/documentation/x/documentation/"), k.cast("string")))
-        .otherwise(F.concat(F.lit("https://developer.apple.com/documentation/ok/"), k.cast("string")))
-        .alias("url"),
+        compute_barrier(
+            F.when(k % 5 == 1, F.concat(F.lit("https://a.comhttps://a.com/"), k.cast("string")))
+            .when(k % 5 == 2, F.concat(F.lit("https://a.com/%ef%bb%bf/"), k.cast("string")))
+            .when(k % 5 == 3, F.concat(F.lit("https://a.com/"), F.repeat(F.lit("z"), 220)))
+            .when(k % 5 == 4, F.concat(F.lit("https://a.com/documentation/x/documentation/"), k.cast("string")))
+            .otherwise(F.concat(F.lit("https://developer.apple.com/documentation/ok/"), k.cast("string")))
+        ).alias("url"),
     )
 
 
@@ -401,7 +422,7 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic distribution."""
     from mcp_crawl4ai_rag_spark.functions.text import lang_id
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread="doc_id")
     return d.groupBy(lang_id(F.col("text")).alias("lang_guess")).agg(
         F.count("*").alias("n_docs")
     )
@@ -454,7 +475,7 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_c1_smart_chunker(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mcp_crawl4ai_rag_spark.functions.chunking import chunk_documents
 
-    d = _t(spark, sf_dir, "documents").select(
+    d = _t(spark, sf_dir, "documents", spread="doc_id").select(
         _doc_url(F.col("source"), F.col("doc_id")).alias("url"),
         F.col("text").alias("content"),
     )
@@ -466,7 +487,7 @@ def q_c1_smart_chunker(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_c3_media_chunker(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mcp_crawl4ai_rag_spark.functions.chunking import chunk_media_documents
 
-    d = _t(spark, sf_dir, "documents").select(
+    d = _t(spark, sf_dir, "documents", spread="doc_id").select(
         _doc_url(F.col("source"), F.col("doc_id")).alias("url"),
         F.col("source").alias("title"),
         F.col("text").alias("content"),
@@ -530,6 +551,11 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _repetition_stats(d: DataFrame) -> DataFrame:
     """Repetition stats over any (doc_id, text) frame — shared by
     q_text_repetition, q_gopher_filter, and the composed pipelines."""
+    from mcp_crawl4ai_rag_spark.partitioning import spread_for_compute
+
+    # the word/bigram explodes run below the first exchange — spread an
+    # under-split scan across the session first (guide §2.5)
+    d = spread_for_compute(d, "doc_id")
     words = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
     word_stats = (
         words.groupBy("doc_id", "w")
@@ -661,7 +687,7 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mcp_crawl4ai_rag_spark.operators.packing import pack_offsets
     from mcp_crawl4ai_rag_spark.operators.sampling import stratified_sample
 
-    d = _t(spark, sf_dir, "documents").select(
+    d = _t(spark, sf_dir, "documents", spread="doc_id").select(
         "doc_id", "lang", "text", token_count(F.col("text")).cast("long").alias("n_tokens")
     )
     filt = d.where((F.col("n_tokens") >= 20) & F.col("lang").isin("en", "de", "zh"))
@@ -910,7 +936,7 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ASC. DuckDB twin runs the identical Robertson-Sparck Jones formula."""
     from mcp_crawl4ai_rag_spark.operators.search import bm25_rank
 
-    d = _t(spark, sf_dir, "documents").select(
+    d = _t(spark, sf_dir, "documents", spread="doc_id").select(
         F.col("doc_id").alias("id"), F.col("text").alias("content")
     )
     return bm25_rank(d, ["join", "merge", "filter"], k=25).select(
@@ -950,7 +976,7 @@ def q_span_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     segments → every 3rd segment preceded by a media span with a derived
     ref → flatten → posexplode to ordered span rows. DuckDB twin uses
     unnest(generate_series) + list slicing + a window for the span index."""
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _t(spark, sf_dir, "documents", spread="doc_id").select("doc_id", "text")
     toks = F.split(F.col("text"), " ")
     n_seg = F.ceil(F.size(toks) / F.lit(10)).cast("int")
     sents = F.transform(
@@ -1007,7 +1033,7 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality components flip, so the original always wins."""
     from mcp_crawl4ai_rag_spark.functions.text import fingerprint, quality_score
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _t(spark, sf_dir, "documents", spread="doc_id").select("doc_id", "text")
     dup = d.where(F.col("doc_id") % 4 == 0).select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
         F.concat(F.col("text"), F.repeat(F.lit(" "), 60000)).alias("text"),
@@ -1234,7 +1260,7 @@ def q_ivf_fixed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mcp_crawl4ai_rag_spark.operators.multimodal import decode_media
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread="doc_id")
     media = d.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.concat(F.lit("media://doc/"), F.col("doc_id").cast("string")).alias("media_ref"),
@@ -1282,7 +1308,7 @@ def q_recrawl_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         visit_history,
     )
 
-    o = _t(spark, sf_dir, "orders").select("o_orderkey")
+    o = _t(spark, sf_dir, "orders", spread="o_orderkey").select("o_orderkey")
     url = F.concat(
         F.lit("https://h"), F.pmod("o_orderkey", 97).cast("string"),
         F.lit(".example.org/p/"), F.col("o_orderkey").cast("string"),
@@ -1453,7 +1479,7 @@ def q_vector_topk_2560(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_search.py::test_vector_topk_blas_dispatch_2560_dim."""
     from mcp_crawl4ai_rag_spark.operators.search import vector_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings", spread="vec_id")
     tiled = emb.select(
         "vec_id",
         F.flatten(F.array_repeat(F.col("embedding"), 40)).alias("embedding"),

@@ -84,6 +84,11 @@ def feature_hash_embed(
     both uniform in the doc id, no hot keys; output is O(distinct
     buckets per doc) <= dim rows per document. At 100 TB this is the
     standard one-pass hashing-trick featurizer."""
+    from mcp_crawl4ai_rag_spark.partitioning import spread_for_compute
+
+    # the token explode + per-token md5 runs below the first exchange —
+    # spread an under-split scan across the session first (§2.5)
+    df = spread_for_compute(df, id_col)
     # explicit RE2-equivalent whitespace class: Java \s would also split
     # on \x0B, which DuckDB's RE2 \s does not — the one char on which the
     # oracle twin could diverge (ADVICE r4)

@@ -572,7 +572,12 @@ def minhash_lsh_candidates(
     Scale notes: the self-join shuffles on (band, band_hash) — uniformly
     hashed keys, no skew; signature width is num_perm*8 bytes/doc.
     """
+    from mcp_crawl4ai_rag_spark.partitioning import spread_for_compute
+
     rows_per_band = num_perm // bands
+    # signature UDF (shingle + blake2b per doc) is the expensive stage:
+    # spread an under-split scan across the session first (guide §2.5)
+    df = spread_for_compute(df, id_col)
     sig = df.select(
         F.col(id_col).alias("id"), make_minhash_udf(num_perm, shingle_k)(F.col(text_col)).alias("sig")
     ).cache()  # self-joined below: avoid recomputing the signature UDF per side
@@ -721,6 +726,11 @@ def simhash_near_duplicates(
     The default 4 blocks only guarantees hamming <= 3; callers using a
     larger max_hamming trade recall in the (n_blocks..max_hamming] band
     for fewer candidates, exactly like MinHash banding."""
+    from mcp_crawl4ai_rag_spark.partitioning import spread_for_compute
+
+    # the signature UDF dominates; don't let an under-split scan feed it
+    # to 1-2 tasks (guide §2.5 input skew)
+    df = spread_for_compute(df, id_col)
     sim = df.select(
         F.col(id_col).alias("id"),
         make_simhash_udf(hasher=hasher)(F.col(text_col)).alias("sh"),
@@ -1019,6 +1029,11 @@ def _duplicated_hits(
     in >= min_df distinct documents: the shared front half of the
     duplicated-substring detect and remove operators. One shuffle on the
     uniform hash key; O(total tokens) exploded rows."""
+    from mcp_crawl4ai_rag_spark.partitioning import spread_for_compute
+
+    # the shingle explode + per-position hash is O(tokens x k) CPU and
+    # runs below the first exchange — spread an under-split scan first
+    df = spread_for_compute(df, id_col)
     toks = F.split(F.col(text_col), " ")
     sh = df.select(
         F.col(id_col).alias("doc_id"),
@@ -1179,6 +1194,9 @@ def _positional_gram_hashes(df: DataFrame, text_col: str, id_col: str, n: int) -
     start position — the front half of `_duplicated_hits` without the
     document-frequency reduction, for span-level operators that must map
     a gram hit back to the tokens it covers."""
+    from mcp_crawl4ai_rag_spark.partitioning import spread_for_compute
+
+    df = spread_for_compute(df, id_col)
     toks = F.split(F.col(text_col), " ")
     return df.select(
         F.col(id_col).alias("doc_id"),
@@ -1204,6 +1222,9 @@ def _distinct_gram_hashes(df: DataFrame, text_col: str, id_col: str | None, n: i
     space-joined gram) so the whole overlap check stays JVM-side: the
     hash — never the n-token string — is what shuffles or broadcasts.
     """
+    from mcp_crawl4ai_rag_spark.partitioning import spread_for_compute
+
+    df = spread_for_compute(df, *([id_col] if id_col else []))
     toks = F.split(F.col(text_col), " ")
     cols = [F.col(id_col).alias("doc_id")] if id_col else []
     grams = df.select(
