@@ -316,11 +316,13 @@ def q_so4_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_p1_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P1: the engine's pandas-UDF canonicalizer on constructed URLs."""
-    from mcp_crawl4ai_rag_spark.functions.urls import canonicalize_url
+    """P1: the engine's Arrow-UDF canonicalizer on constructed URLs
+    (deterministic variant — no downstream filter, so the optimizer
+    keeps its normal freedoms, as in round 5)."""
+    from mcp_crawl4ai_rag_spark.functions.urls import canonicalize_url_det
 
     return _candidate_urls(spark, sf_dir).select(
-        "key", canonicalize_url(F.col("raw_url")).alias("canon_url")
+        "key", canonicalize_url_det(F.col("raw_url")).alias("canon_url")
     )
 
 

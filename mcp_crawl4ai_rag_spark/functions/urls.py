@@ -19,10 +19,12 @@ from __future__ import annotations
 
 from urllib.parse import urlparse, urlunparse
 
+import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import Column
 from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
+from pyspark.sql.functions import arrow_udf, pandas_udf
 from pyspark.sql.types import StringType
 
 APPLE_DOCS_PREFIX = "https://developer.apple.com/documentation/"
@@ -72,34 +74,207 @@ def host_of_py(url: str) -> str:
 
 _SIMPLE_URL_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^?#]*)(?:\?[^#]*)?(?:#.*)?$"
 
+import re as _re
+
+_SIMPLE_URL_RE_C = _re.compile(_SIMPLE_URL_RE)
+
+
+def _canonicalize_slow(u: str) -> str:
+    """Row-wise canonicalizer for rows outside the Arrow kernel's numpy
+    fast path (non-ASCII bytes, ';', odd shapes). Reproduces the
+    historical pandas kernel exactly: simple-shape rows (regex match, no
+    ';' in the path group) use the lower/rstrip formula; everything else
+    the urlparse oracle — so the total function is bit-identical to the
+    round-5 kernel on EVERY input."""
+    m = _SIMPLE_URL_RE_C.match(u)
+    if m and ";" not in m.group(3):
+        return (
+            m.group(1).lower() + "://" + m.group(2).lower()
+            + m.group(3).rstrip("/").lower()
+        )
+    return canonicalize_url_py(u)
+
+
+# byte-class lookup tables for the Arrow kernel
+_SCHEME_OK = np.zeros(256, dtype=bool)
+_SCHEME_OK[np.frombuffer(
+    b"abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789+.-",
+    dtype=np.uint8,
+)] = True
+_ALPHA = np.zeros(256, dtype=bool)
+_ALPHA[np.frombuffer(
+    b"abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ", dtype=np.uint8
+)] = True
+_TO_LOWER = np.arange(256, dtype=np.uint8)
+_TO_LOWER[65:91] += 32
+
+
+def _first_per_row(positions: np.ndarray, offsets: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Map sorted global byte ``positions`` to rows via ``offsets`` and
+    keep the first position per row. Returns (row_idx, pos) pairs."""
+    if len(positions) == 0:
+        return positions, positions
+    rows = np.searchsorted(offsets, positions, side="right") - 1
+    first = np.ones(len(rows), dtype=bool)
+    first[1:] = rows[1:] != rows[:-1]
+    return rows[first], positions[first]
+
+
+def canonicalize_arrow(arr: pa.Array) -> pa.Array:
+    """Byte-level vectorized canonicalizer over an Arrow string array.
+
+    Fast path (pure numpy over the Arrow data buffer, no per-row Python):
+    ASCII URLs of the common scheme://netloc/path[?query][#fragment]
+    shape with no ';' before the cut. For those the oracle semantics
+    collapse to: lowercase everything before the first '?'/'#', then
+    strip trailing '/' down to (not past) the netloc end. Everything
+    else — no '://', non-scheme chars before it, non-ASCII bytes, ';'
+    (urlparse params) — falls back row-wise to the urlparse oracle, so
+    output is identical to canonicalize_url_py for EVERY input
+    (differential-tested in tests/test_urls.py / test_properties.py).
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = (
+            arr.chunk(0)
+            if arr.num_chunks == 1
+            else pa.concat_arrays(arr.chunks)
+            if arr.num_chunks
+            else pa.array([], type=pa.string())
+        )
+    n = len(arr)
+    if n == 0:
+        return pa.array([], type=pa.string())
+    off_dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    offs = np.frombuffer(arr.buffers()[1], dtype=off_dtype)[
+        arr.offset : arr.offset + n + 1
+    ].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    lo, hi = int(offs[0]), int(offs[-1])
+    view = data[lo:hi]
+    null_mask = arr.is_null().to_numpy(zero_copy_only=False)
+
+    s, e = offs[:-1], offs[1:]
+
+    # first "://" per row (bounded inside the row)
+    if len(view) >= 3:
+        m = (view[:-2] == 58) & (view[1:-1] == 47) & (view[2:] == 47)
+        cand = np.flatnonzero(m) + lo
+    else:
+        cand = np.empty(0, dtype=np.int64)
+    crow = np.searchsorted(offs, cand, side="right") - 1
+    ok = cand + 3 <= e[crow]
+    cand, crow = cand[ok], crow[ok]
+    first = np.ones(len(crow), dtype=bool)
+    first[1:] = crow[1:] != crow[:-1]
+    colon = np.full(n, -1, dtype=np.int64)
+    colon[crow[first]] = cand[first]
+
+    # cut = first '?' or '#' per row (none can precede the colon on rows
+    # that pass the scheme check — '?'/'#' are not scheme chars)
+    cut = e.copy()
+    qrow, qpos = _first_per_row(np.flatnonzero((view == 63) | (view == 35)) + lo, offs)
+    cut[qrow] = qpos
+
+    # per-byte prefix sums for the scheme / ascii / ';' checks
+    bad_scheme = np.concatenate(([0], np.cumsum(~_SCHEME_OK[view])))
+    non_ascii = np.concatenate(([0], np.cumsum(view >= 128)))
+    semis = np.concatenate(([0], np.cumsum(view == 59)))
+
+    has = colon >= 0
+    colon_c = np.where(has, colon, s)  # clamp for safe indexing
+    alpha_ok = np.zeros(n, dtype=bool)
+    nz = e > s
+    alpha_ok[nz] = _ALPHA[data[s[nz]]]
+    fast = (
+        ~null_mask
+        & has
+        & (colon_c > s)
+        & alpha_ok
+        & (bad_scheme[colon_c - lo] - bad_scheme[s - lo] == 0)
+        & (non_ascii[cut - lo] - non_ascii[s - lo] == 0)
+        & (semis[cut - lo] - semis[s - lo] == 0)
+    )
+
+    # netloc end = first '/' at/after colon+3 (else cut)
+    slashes = np.flatnonzero(view == 47) + lo
+    j = np.searchsorted(slashes, colon_c + 3, side="left")
+    j = np.minimum(j, max(len(slashes) - 1, 0))
+    ne = cut.copy()
+    if len(slashes):
+        sl = slashes[j]
+        in_row = (sl >= colon_c + 3) & (sl < cut)
+        ne = np.where(in_row, sl, cut)
+
+    # strip trailing '/' of the path, never past the netloc end
+    non_slash = np.flatnonzero(view != 47) + lo
+    k = np.searchsorted(non_slash, cut, side="left") - 1
+    last = non_slash[np.maximum(k, 0)] if len(non_slash) else np.zeros(n, dtype=np.int64)
+    if len(non_slash):
+        have_ns = (k >= 0) & (last >= ne)
+        new_end = np.where(have_ns, last + 1, ne)
+    else:
+        new_end = ne
+    new_end = np.maximum(np.minimum(new_end, cut), ne)
+
+    # build fast outputs: gather [s, new_end) per fast row, lowercased
+    fidx = np.flatnonzero(fast)
+    lens = np.where(fast, new_end - s, 0)[fidx]
+    total = int(lens.sum())
+    cum = np.concatenate(([0], np.cumsum(lens)))
+    gather = np.repeat(s[fidx] - cum[:-1], lens) + np.arange(total)
+    out_data = _TO_LOWER[data[gather]]
+    fast_arr = pa.StringArray.from_buffers(
+        len(fidx),
+        pa.py_buffer(cum.astype(np.int32).tobytes()),
+        pa.py_buffer(out_data.tobytes()),
+    )
+
+    # hard rows: row-wise historical kernel (rare on real URL streams)
+    hidx = np.flatnonzero(~fast & ~null_mask)
+    if len(hidx) == 0 and not null_mask.any():
+        if len(fidx) == n:
+            return fast_arr
+    hard_vals = [
+        _canonicalize_slow(v)
+        for v in arr.take(pa.array(hidx, type=pa.int64())).to_pylist()
+    ]
+    hard_arr = pa.array(hard_vals, type=pa.string())
+
+    combined = pa.concat_arrays([fast_arr, hard_arr.cast(pa.string())])
+    if len(combined) == 0:
+        return pa.nulls(n, pa.string())
+    perm = np.empty(n, dtype=np.int64)
+    perm[fidx] = np.arange(len(fidx))
+    perm[hidx] = len(fidx) + np.arange(len(hidx))
+    perm[null_mask] = 0  # masked out below
+    indices = pa.array(perm, type=pa.int64(), mask=null_mask)
+    return combined.take(indices)
+
 
 def canonicalize_batch(urls: pd.Series) -> pd.Series:
-    """Vectorized canonicalizer kernel.
-
-    Fast path: pandas C-speed string ops for the common
-    scheme://netloc/path[?query][#fragment] shape (no ';' path params —
-    urlparse treats those specially). Rows outside that shape fall back to
-    the urlparse oracle, so output is identical to canonicalize_url_py for
-    every input (differential-tested in tests/test_urls.py).
-    """
-    ext = urls.str.extract(_SIMPLE_URL_RE)
-    simple = ext[0].notna() & ~ext[2].str.contains(";", na=False)
-    out = (
-        ext[0].str.lower()
-        + "://"
-        + ext[1].str.lower()
-        + ext[2].str.rstrip("/").str.lower()
-    )
-    hard = ~simple & urls.notna()
-    if hard.any():
-        out.loc[hard] = urls[hard].map(canonicalize_url_py)
-    return out.where(urls.notna(), None)
+    """Vectorized canonicalizer kernel (pandas wrapper around the Arrow
+    kernel — kept as the differential-test surface)."""
+    arr = pa.Array.from_pandas(urls, type=pa.string())
+    return canonicalize_arrow(arr).to_pandas()
 
 
-@pandas_udf(StringType())
-def canonicalize_url(urls: pd.Series) -> pd.Series:
-    """Vectorized canonicalizer (Arrow batch in/out)."""
-    return canonicalize_batch(urls)
+@arrow_udf(StringType())
+def _canonicalize_url_udf(urls: pa.Array) -> pa.Array:
+    """Vectorized canonicalizer (Arrow batch in/out, no pandas boundary)."""
+    return canonicalize_arrow(urls)
+
+
+# Non-deterministic flag (value is fully deterministic): stops the
+# optimizer's pushed-down-filter copy of the UDF — a filter on the canon
+# output otherwise evaluates the whole canonicalize (and everything
+# feeding it) TWICE, once below the filter and once in the projection
+# (guide §4.4: two ArrowEvalPython nodes for one call).
+canonicalize_url = _canonicalize_url_udf.asNondeterministic()
+
+# Deterministic alias for callers with no filter on the output, where
+# the optimizer's normal freedoms (column pruning under count, etc.)
+# are wanted. Same kernel, same values.
+canonicalize_url_det = _canonicalize_url_udf
 
 
 @pandas_udf(StringType())
@@ -116,20 +291,30 @@ def count_occurrences(col: Column, token: str) -> Column:
     ).cast("int")
 
 
+def _occurs_twice(col: Column, token: str) -> Column:
+    """str.count(token) > 1 (non-overlapping), as two allocation-free
+    ``locate`` scans with early exit — replaces the length(replace(...))
+    count, which materialized a full copy of the string per token."""
+    first = F.call_function("locate", F.lit(token), col)
+    return (first > 0) & (
+        F.call_function("locate", F.lit(token), col, first + F.lit(len(token))) > 0
+    )
+
+
 def is_malformed(col: Column) -> Column:
     """Column predicate matching is_malformed_py (True = reject).
 
     Pure expressions — stays inside whole-stage codegen.
     """
     return (
-        (count_occurrences(col, "https://") > 1)
-        | (count_occurrences(col, "http://") > 1)
+        _occurs_twice(col, "https://")
+        | _occurs_twice(col, "http://")
         | col.contains("%ef%bb%bf")
         | col.contains("﻿")
-        | (count_occurrences(col, "/documentation/") > 1)
+        | _occurs_twice(col, "/documentation/")
         | (col.contains("https:/") & ~col.startswith("https://"))
         | (F.length(col) > 200)
-        | (count_occurrences(col, "developer.apple.com") > 1)
+        | _occurs_twice(col, "developer.apple.com")
     )
 
 
