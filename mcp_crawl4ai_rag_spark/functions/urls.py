@@ -175,25 +175,32 @@ def canonicalize_arrow(arr: pa.Array) -> pa.Array:
     qrow, qpos = _first_per_row(np.flatnonzero((view == 63) | (view == 35)) + lo, offs)
     cut[qrow] = qpos
 
-    # per-byte prefix sums for the scheme / ascii / ';' checks
-    bad_scheme = np.concatenate(([0], np.cumsum(~_SCHEME_OK[view])))
-    non_ascii = np.concatenate(([0], np.cumsum(view >= 128)))
-    semis = np.concatenate(([0], np.cumsum(view == 59)))
-
     has = colon >= 0
     colon_c = np.where(has, colon, s)  # clamp for safe indexing
     alpha_ok = np.zeros(n, dtype=bool)
     nz = e > s
     alpha_ok[nz] = _ALPHA[data[s[nz]]]
-    fast = (
-        ~null_mask
-        & has
-        & (colon_c > s)
-        & alpha_ok
-        & (bad_scheme[colon_c - lo] - bad_scheme[s - lo] == 0)
-        & (non_ascii[cut - lo] - non_ascii[s - lo] == 0)
-        & (semis[cut - lo] - semis[s - lo] == 0)
-    )
+
+    # ';' and non-ASCII bytes are rare: count-in-range via sparse position
+    # lists + searchsorted instead of full-buffer prefix sums
+    semi_pos = np.flatnonzero(view == 59) + lo
+    na_pos = np.flatnonzero(view >= 128) + lo
+    no_semi = np.searchsorted(semi_pos, cut) == np.searchsorted(semi_pos, s)
+    all_ascii = np.searchsorted(na_pos, cut) == np.searchsorted(na_pos, s)
+
+    # scheme charset check: gather just the scheme bytes (schemes are a
+    # few bytes per row; cap 64 — longer prefixes go to the slow path)
+    sch_len = colon_c - s
+    sidx = np.flatnonzero(has & (sch_len > 0) & (sch_len <= 64))
+    scheme_ok = np.zeros(n, dtype=bool)
+    if len(sidx):
+        L = sch_len[sidx]
+        cumL = np.concatenate(([0], np.cumsum(L)))
+        g = np.repeat(s[sidx] - cumL[:-1], L) + np.arange(int(cumL[-1]))
+        badcum = np.concatenate(([0], np.cumsum(~_SCHEME_OK[data[g]])))
+        scheme_ok[sidx] = badcum[cumL[1:]] == badcum[cumL[:-1]]
+
+    fast = ~null_mask & has & alpha_ok & scheme_ok & all_ascii & no_semi
 
     # netloc end = first '/' at/after colon+3 (else cut)
     slashes = np.flatnonzero(view == 47) + lo
@@ -205,15 +212,18 @@ def canonicalize_arrow(arr: pa.Array) -> pa.Array:
         in_row = (sl >= colon_c + 3) & (sl < cut)
         ne = np.where(in_row, sl, cut)
 
-    # strip trailing '/' of the path, never past the netloc end
-    non_slash = np.flatnonzero(view != 47) + lo
-    k = np.searchsorted(non_slash, cut, side="left") - 1
-    last = non_slash[np.maximum(k, 0)] if len(non_slash) else np.zeros(n, dtype=np.int64)
-    if len(non_slash):
-        have_ns = (k >= 0) & (last >= ne)
-        new_end = np.where(have_ns, last + 1, ne)
+    # strip trailing '/' of the path, never past the netloc end: if the
+    # byte at cut-1 is a slash, rewind to the start of its run (slash
+    # runs derived from the sparse slash-position list)
+    if len(slashes):
+        brk = np.concatenate(([True], np.diff(slashes) != 1))
+        run_start = slashes[brk][np.cumsum(brk) - 1]  # per slash
+        ci = np.searchsorted(slashes, cut - 1, side="left")
+        cic = np.minimum(ci, len(slashes) - 1)
+        ends_in_slash = slashes[cic] == cut - 1
+        new_end = np.where(ends_in_slash, np.maximum(ne, run_start[cic]), cut)
     else:
-        new_end = ne
+        new_end = cut.copy()
     new_end = np.maximum(np.minimum(new_end, cut), ne)
 
     # build fast outputs: gather [s, new_end) per fast row, lowercased

@@ -29,10 +29,32 @@ PATH_RE = r"^[a-z][a-z0-9+.\-]*://[^/]*(/.*)?$"
 
 def with_host_and_path(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Host/path extraction for *canonicalized* URLs (lowercased scheme and
-    netloc), pure regexp — no Python."""
-    return df.withColumn(
-        "host", F.regexp_extract(F.col(url_col), HOST_RE, 1)
-    ).withColumn("path", F.regexp_extract(F.col(url_col), PATH_RE, 1))
+    netloc) — no Python.
+
+    One short anchored regex matches the scheme prefix; host/path then
+    come from substring arithmetic (cheaper than running the two long
+    extraction regexes over the full URL twice). Rows containing line
+    terminators keep the original PATH_RE extraction, because Java's
+    ``$`` treats a trailing terminator specially and the substring
+    arithmetic would diverge there; all other rows are byte-equivalent
+    (pinned by tests/test_robots_source.py)."""
+    url = F.col(url_col)
+    m = F.regexp_extract(url, r"^[a-z][a-z0-9+.\-]*://", 0)
+    rest = F.substring(url, F.length(m) + F.lit(1), F.lit(1 << 30))
+    host = F.when(m == "", F.lit("")).otherwise(F.substring_index(rest, "/", 1))
+    simple_path = F.substring(
+        rest, F.length(host) + F.lit(1), F.lit(1 << 30)
+    )
+    has_line_term = (
+        url.contains("\n") | url.contains("\r") | url.contains("\u0085")
+        | url.contains("\u2028") | url.contains("\u2029")
+    )
+    path = (
+        F.when(m == "", F.lit(""))
+        .when(has_line_term, F.regexp_extract(url, PATH_RE, 1))
+        .otherwise(simple_path)
+    )
+    return df.withColumn("host", host).withColumn("path", path)
 
 
 def build_robots_rules(robots: DataFrame) -> DataFrame:
