@@ -640,10 +640,7 @@ def near_duplicates_minhash(
     shingling is O(docs), not O(candidate pairs)), and the Jaccard is
     array_intersect/array_union inside whole-stage codegen. The
     pandas-UDF kernel stays available as the differential test oracle."""
-    from mcp_crawl4ai_rag_spark.functions.text import (
-        jaccard_from_shingle_sets,
-        word_shingle_set,
-    )
+    from mcp_crawl4ai_rag_spark.functions.text import WS_RUN
 
     cands = minhash_lsh_candidates(df, text_col, id_col, num_perm, bands, shingle_k).cache()
     # shingle only docs that appear in candidate pairs (semi-join first):
@@ -653,16 +650,61 @@ def near_duplicates_minhash(
     in_cands = cands.select(F.col("id_a").alias("id")).union(
         cands.select(F.col("id_b").alias("id"))
     )
-    sh = texts.join(in_cands, "id", "left_semi").select(
-        "id", word_shingle_set(F.col("t"), shingle_k).alias("sh")
+    # Shingle-set construction: the word_shingle_set HOF formulation
+    # (transform + slice + array_join per window) is INTERPRETED per
+    # element (~1 ms/doc measured) — build the same k-shingles with
+    # codegen'd window leads instead, and carry 64-bit shingle hashes:
+    # |intersect| / |union| over the hash sets equals the string-set
+    # Jaccard absent an xxhash64 collision inside one pair's union
+    # (<= ~hundreds of shingles — the dedup_substring precedent).
+    ctexts = texts.join(in_cands, "id", "left_semi")
+    toks = F.filter(
+        F.split(F.lower(F.col("t")), WS_RUN, -1), lambda x: F.length(x) > 0
     )
-    joined = cands.join(
-        sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a"
-    ).join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-    return (
-        joined.withColumn(
-            "jaccard", jaccard_from_shingle_sets(F.col("sh_a"), F.col("sh_b"))
+    tok = ctexts.select(
+        "id", F.size(toks).alias("n"), F.posexplode(toks).alias("pos", "w")
+    )
+    w_doc = Window.partitionBy("id").orderBy("pos")
+    leads = [F.col("w")] + [
+        F.lead("w", i).over(w_doc) for i in range(1, shingle_k)
+    ]
+    shingle = F.when(
+        F.col("n") < shingle_k, F.concat_ws(" ", F.collect_list("w").over(
+            w_doc.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ))
+    ).otherwise(F.concat_ws(" ", *leads))
+    grams = (
+        tok.withColumn("__s", shingle)
+        .where((F.col("n") < shingle_k) | (F.col("pos") <= F.col("n") - shingle_k))
+        .select("id", F.xxhash64("__s").alias("g"))
+    )
+    sh = grams.groupBy("id").agg(F.collect_set("g").alias("sh")).cache()
+    # left joins + empty-set coalesce: blank docs produce no gram rows but
+    # must keep the shingle-set semantics (both-empty pairs score 1.0)
+    empty = F.array().cast("array<bigint>")
+    joined = (
+        cands.join(
+            sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"),
+            "id_a",
+            "left",
         )
+        .join(
+            sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"),
+            "id_b",
+            "left",
+        )
+        .withColumn("sh_a", F.coalesce(F.col("sh_a"), empty))
+        .withColumn("sh_b", F.coalesce(F.col("sh_b"), empty))
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    jac = (
+        F.when((F.size("sh_a") == 0) & (F.size("sh_b") == 0), F.lit(1.0))
+        .when((F.size("sh_a") == 0) | (F.size("sh_b") == 0), F.lit(0.0))
+        .otherwise(inter.cast("double") / union.cast("double"))
+    )
+    return (
+        joined.withColumn("jaccard", jac)
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

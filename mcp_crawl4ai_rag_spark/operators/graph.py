@@ -134,9 +134,14 @@ def pagerank(
     for _ in range(n_iter):
         with_deg = ranks.join(out_deg, "id", "left").localCheckpoint()
         linking = with_deg.where(F.col("out_deg").isNotNull())
-        # mass from linking nodes flows along edges; the rest is dangling
-        linking_mass = linking.agg(F.sum("rank")).collect()[0][0] or 0.0
-        dangling = n_nodes - linking_mass
+        # mass from linking nodes flows along edges; the rest is dangling.
+        # The scalar aggregate stays IN the plan as a broadcast single-row
+        # frame (no per-iteration driver collect — one fewer job each
+        # round); the arithmetic is the same IEEE-754 double sequence the
+        # collect-based formulation ran on the driver.
+        mass = linking.agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__linking_mass")
+        )
         contribs = (
             e.join(linking.withColumnRenamed("id", "src"), "src")
             .select(
@@ -146,13 +151,20 @@ def pagerank(
             .groupBy("id")
             .agg(F.sum("contrib").alias("in_mass"))
         )
-        ranks = nodes.join(contribs, "id", "left").select(
-            "id",
-            (
-                F.lit(1.0 - damping)
-                + F.lit(damping)
-                * (F.coalesce(F.col("in_mass"), F.lit(0.0)) + F.lit(dangling / n_nodes))
-            ).alias("rank"),
+        dangling_share = (
+            F.lit(float(n_nodes)) - F.col("__linking_mass")
+        ) / F.lit(float(n_nodes))
+        ranks = (
+            nodes.join(contribs, "id", "left")
+            .crossJoin(F.broadcast(mass))
+            .select(
+                "id",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("in_mass"), F.lit(0.0)) + dangling_share)
+                ).alias("rank"),
+            )
         )
     e.unpersist()
     return ranks
