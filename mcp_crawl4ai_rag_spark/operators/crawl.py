@@ -67,6 +67,7 @@ from mcp_crawl4ai_rag_spark.operators.politeness import (
     init_hosts,
     refill_hosts,
     build_robots_rules,
+    compile_robots_predicate,
     robots_allowed,
     with_host_and_path,
 )
@@ -239,8 +240,13 @@ class CrawlEngine:
         self.corpus = corpus
         self.robots = robots
         # static rules table: aggregate + regex-translate once, cache —
-        # every round's robots join reads this instead of re-shuffling
+        # every round's robots join reads this instead of re-shuffling.
+        # Small tables additionally compile ONCE to a literal codegen
+        # predicate (no per-round join, no interpreted rule fold); a
+        # too-large table leaves _robots_pred None and every round takes
+        # the join+fold path with no re-probing.
         self._robots_rules = build_robots_rules(robots).cache()
+        self._robots_pred = compile_robots_predicate(self._robots_rules)
         self.batch_size = batch_size
         self.max_attempts = max_attempts
         self.use_bloom = use_bloom
@@ -551,7 +557,10 @@ class CrawlEngine:
         )
         w = Window.partitionBy("url").orderBy(*order_cols)
         cand = cand.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1)
-        cand = robots_allowed(cand, prebuilt_rules=self._robots_rules)
+        cand = robots_allowed(
+            cand, prebuilt_rules=self._robots_rules,
+            compiled=self._robots_pred, try_compile=False,
+        )
         ranked, pinned = with_global_rank(cand, order_cols, rank_col="__seed_rank")
         rows = (
             ranked.withColumn("seq", F.col("__seed_rank").cast("long"))
@@ -868,7 +877,10 @@ class CrawlEngine:
         ).transform(with_host_and_path)
         # cached: bounded by batch x out-degree, and read twice below (the
         # seen-probe broadcast build + the final anti-join)
-        cand = robots_allowed(cand, prebuilt_rules=self._robots_rules).cache()
+        cand = robots_allowed(
+            cand, prebuilt_rules=self._robots_rules,
+            compiled=self._robots_pred, try_compile=False,
+        ).cache()
 
         # seen set: pending' ∪ fetched ∪ this round's fetches — this round's
         # deaths have already left the set (simulator order: deletes happen

@@ -211,3 +211,58 @@ def test_sitemap_discovery_from_robots(spark, tmp_path):
         ("a.example", "https://a.example/sitemap-news.xml"),
         ("a.example", "https://a.example/lowercase.xml"),
     }
+
+
+def test_compiled_predicate_equals_join_fold(spark):
+    """The compiled literal-CASE robots predicate (small-table fast path)
+    must decide identically to the join+fold evaluation on randomized
+    rule tables: wildcards, $-anchors, allow/disallow ties, crawl-delay
+    rows (zero-length non-allow), unknown hosts, empty paths."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from mcp_crawl4ai_rag_spark.operators.politeness import (
+        build_robots_rules,
+        compile_robots_predicate,
+    )
+
+    rng = random.Random(17)
+    prefixes = ["/", "/a", "/a/", "/a/b", "/fish*", "/*.php$", "/x$", "", "/a*b/"]
+    rules = []
+    for h in ["h1.com", "h2.com", "h3.com"]:
+        for _ in range(rng.randint(1, 6)):
+            rules.append(
+                (
+                    h,
+                    rng.choice(["allow", "disallow", "crawl-delay"]),
+                    rng.choice(prefixes),
+                    0.0,
+                )
+            )
+    robots_df = spark.createDataFrame(
+        rules, "host string, rule_type string, path_prefix string, crawl_delay double"
+    )
+    paths = [
+        "/", "/a", "/a/", "/a/b", "/a/bb", "/fish", "/fishing", "/x", "/xx",
+        "/q.php", "/q.phpx", "/axxb/", "/a*b/", "", "/other/deep/page",
+    ]
+    urls = [(f"https://{h}{p}",) for h in ["h1.com", "h2.com", "h4.com"] for p in paths]
+    df = with_host_and_path(spark.createDataFrame(urls, ["url"]))
+    rules_tbl = build_robots_rules(robots_df)
+    compiled = compile_robots_predicate(rules_tbl)
+    assert compiled is not None
+    kept_compiled = {r["url"] for r in df.where(compiled).collect()}
+    kept_fold = {
+        r["url"]
+        for r in robots_allowed(
+            df, prebuilt_rules=rules_tbl, try_compile=False
+        ).collect()
+    }
+    assert kept_compiled == kept_fold
+    # bounds: a too-large table declines compilation
+    many = spark.createDataFrame(
+        [(f"h{i}.com", "disallow", "/p", 0.0) for i in range(200)],
+        "host string, rule_type string, path_prefix string, crawl_delay double",
+    )
+    assert compile_robots_predicate(build_robots_rules(many), max_hosts=64) is None
