@@ -764,356 +764,375 @@ class CrawlEngine:
             self.round_id -= 1
             return {"round": self.round_id + 1, "popped": 0}
 
-        # fetch stage. Default (sandbox): corpus restricted to the popped
-        # batch via broadcast semi join (an IN-list of thousands of literals
-        # would bloat the plan; the broadcast side is bounded by batch_size),
-        # then the matched pages broadcast back onto the batch. Production:
-        # the injected partition fetcher with per-partition session reuse.
-        # Either way the salted repartition spreads hot hosts across tasks
-        # (J5 skew note) first.
-        nparts = self.fetch_partitions or self.spark.sparkContext.defaultParallelism
-        fetch_input = popped.repartition(nparts, F.col("host"), self._rx["salt"])
-        if self.fetcher is not None:
-            joined = fetch_with_partition_sessions(fetch_input, self.fetcher).drop(
-                "fetch_session", "fetch_error"
+        # Size reduce-side parallelism to THIS round's data instead of the
+        # session constant: round work is bounded by the popped batch's
+        # link fan-out plus the live frontier (seq_counter), so tiny
+        # rounds otherwise schedule ~shuffle.partitions near-empty reduce
+        # tasks per exchange (measured 17.0 s -> ~12 s per 3-round crawl
+        # at batch_size=10). The clamp is data-derived and capped at the
+        # session value, so at cluster scale (large frontier / big
+        # batches) it returns the session setting unchanged.
+        _sess_parts = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        _est_rows = max(self.seq_counter, n_popped * 256, 4096)
+        _round_parts = min(_sess_parts, max(1, -(-_est_rows // 4096)))
+        if _round_parts < _sess_parts:
+            self.spark.conf.set("spark.sql.shuffle.partitions", str(_round_parts))
+        try:
+            # fetch stage. Default (sandbox): corpus restricted to the popped
+            # batch via broadcast semi join (an IN-list of thousands of literals
+            # would bloat the plan; the broadcast side is bounded by batch_size),
+            # then the matched pages broadcast back onto the batch. Production:
+            # the injected partition fetcher with per-partition session reuse.
+            # Either way the salted repartition spreads hot hosts across tasks
+            # (J5 skew note) first.
+            nparts = self.fetch_partitions or self.spark.sparkContext.defaultParallelism
+            fetch_input = popped.repartition(nparts, F.col("host"), self._rx["salt"])
+            if self.fetcher is not None:
+                joined = fetch_with_partition_sessions(fetch_input, self.fetcher).drop(
+                    "fetch_session", "fetch_error"
+                )
+            else:
+                pages = self.corpus.join(
+                    F.broadcast(popped.select("url")), "url", "left_semi"
+                ).select("url", "status_code", "spans", "out_links")
+                joined = fetch_input.join(F.broadcast(pages), "url", "left")
+            # prebuilt trees (__init__ _rx): is_empty is whitespace-equivalent
+            # to the oracle's str.strip() — F.trim only strips ASCII spaces
+            enriched = (
+                joined
+                .withColumn("status", self._rx["status"])
+                .withColumn("clean_spans", self._rx["clean_spans"])
+                .withColumn("text", self._rx["text"])
+                .withColumn("is_dead_err", self._rx["is_dead_err"])
+                .withColumn("is_empty", self._rx["is_empty"])
+                .withColumn("outcome", self._rx["outcome"])
+                .cache()
             )
-        else:
-            pages = self.corpus.join(
-                F.broadcast(popped.select("url")), "url", "left_semi"
-            ).select("url", "status_code", "spans", "out_links")
-            joined = fetch_input.join(F.broadcast(pages), "url", "left")
-        # prebuilt trees (__init__ _rx): is_empty is whitespace-equivalent
-        # to the oracle's str.strip() — F.trim only strips ASCII spaces
-        enriched = (
-            joined
-            .withColumn("status", self._rx["status"])
-            .withColumn("clean_spans", self._rx["clean_spans"])
-            .withColumn("text", self._rx["text"])
-            .withColumn("is_dead_err", self._rx["is_dead_err"])
-            .withColumn("is_empty", self._rx["is_empty"])
-            .withColumn("outcome", self._rx["outcome"])
-            .cache()
-        )
 
-        # Independent table commits overlap with the round's main-thread
-        # work (link pipeline, stats): each commit is a separate Spark job
-        # whose ~0.3-0.5 s of scheduling latency would otherwise serialize.
-        # Safe because every commit targets a distinct table (per-table
-        # version sequences — and thus all committed state — are identical
-        # to the serial schedule), all reads in this round pin versions
-        # captured before the corresponding submit, and the checkpoint is
-        # only written after every future is joined. Concurrent first
-        # actions may compute a cached `enriched` partition twice (Spark's
-        # cache doesn't block cross-job) — bounded by batch_size, never by
-        # frontier size.
-        pool = self._commit_pool()
-        futures: list = []
+            # Independent table commits overlap with the round's main-thread
+            # work (link pipeline, stats): each commit is a separate Spark job
+            # whose ~0.3-0.5 s of scheduling latency would otherwise serialize.
+            # Safe because every commit targets a distinct table (per-table
+            # version sequences — and thus all committed state — are identical
+            # to the serial schedule), all reads in this round pin versions
+            # captured before the corresponding submit, and the checkpoint is
+            # only written after every future is joined. Concurrent first
+            # actions may compute a cached `enriched` partition twice (Spark's
+            # cache doesn't block cross-job) — bounded by batch_size, never by
+            # frontier size.
+            pool = self._commit_pool()
+            futures: list = []
 
-        # documents fast-append (S4 content sink)
-        docs = enriched.where(F.col("outcome") == "fetched").select(
-            "url",
-            "host",
-            "depth",
-            F.lit(self.round_id).alias("fetch_round"),
-            self._rx["seq_in_round"].alias("seq_in_round"),
-            "status",
-            F.col("text").alias("content"),
-            F.col("clean_spans").alias("spans"),
-        )
-        futures.append(
-            pool.submit(self._commit, self.documents_tbl, "documents", docs, mode="append")
-        )
+            # documents fast-append (S4 content sink)
+            docs = enriched.where(F.col("outcome") == "fetched").select(
+                "url",
+                "host",
+                "depth",
+                F.lit(self.round_id).alias("fetch_round"),
+                self._rx["seq_in_round"].alias("seq_in_round"),
+                "status",
+                F.col("text").alias("content"),
+                F.col("clean_spans").alias("spans"),
+            )
+            futures.append(
+                pool.submit(self._commit, self.documents_tbl, "documents", docs, mode="append")
+            )
 
-        if self.track_link_graph:
-            edges = (
+            if self.track_link_graph:
+                edges = (
+                    enriched.where(F.col("outcome") == "fetched")
+                    .select(
+                        F.col("url").alias("src"),
+                        F.explode_outer("out_links").alias("href"),
+                    )
+                    .where(F.col("href").isNotNull())
+                    .withColumn("dst", self._rx["canon_url"])
+                    .where(~is_malformed(F.col("dst")))
+                    .select("src", "dst")
+                    .distinct()
+                )
+                futures.append(
+                    pool.submit(
+                        self._commit, self.edges_tbl, "link_edges", edges,
+                        mode="append",
+                    )
+                )
+
+            # link pipeline (P5→P1→P2→J6→J3)
+            links = (
                 enriched.where(F.col("outcome") == "fetched")
                 .select(
-                    F.col("url").alias("src"),
-                    F.explode_outer("out_links").alias("href"),
+                    "pop_rank",
+                    "depth",
+                    F.posexplode_outer("out_links").alias("link_pos", "href"),
                 )
                 .where(F.col("href").isNotNull())
-                .withColumn("dst", self._rx["canon_url"])
-                .where(~is_malformed(F.col("dst")))
-                .select("src", "dst")
-                .distinct()
+            )
+            # Per-page link dedup (SO1) is algebraically FUSED into the global
+            # first-discovery aggregate below: keeping min link_pos per
+            # (pop_rank, href) then taking min(struct(pop_rank, link_pos))
+            # per url is identical to taking the min over the un-deduped rows
+            # (duplicates only add larger (pop_rank, link_pos) tuples, which
+            # can never win the min; same-page duplicates share depth). An
+            # explicit row_number window here would shuffle the whole exploded
+            # link set once more per round for no semantic effect — at 10^10
+            # scale that is the round's largest intermediate.
+            canon = links.withColumn("url", self._rx["canon_url"]).where(
+                self._rx["url_ok"]
+            )
+            first = canon.groupBy("url").agg(
+                F.min(F.struct("pop_rank", "link_pos", "depth")).alias("f")
+            )
+            cand = first.select(
+                "url",
+                F.col("f.pop_rank").alias("pop_rank"),
+                F.col("f.link_pos").alias("link_pos"),
+                (F.col("f.depth") + 1).alias("depth"),
+            ).transform(with_host_and_path)
+            # cached: bounded by batch x out-degree, and read twice below (the
+            # seen-probe broadcast build + the final anti-join)
+            cand = robots_allowed(
+                cand, prebuilt_rules=self._robots_rules,
+                compiled=self._robots_pred, try_compile=False,
+            ).cache()
+
+            # seen set: pending' ∪ fetched ∪ this round's fetches — this round's
+            # deaths have already left the set (simulator order: deletes happen
+            # before link insertion); popped non-dead rows stay seen
+            dead = enriched.where(F.col("outcome") == "dead").select("url", "url_hash")
+            untouched_pending = pending.join(
+                F.broadcast(popped.select("url")), "url", "left_anti"
+            )
+            retries = (
+                enriched.where(F.col("outcome") == "retry")
+                .withColumn("attempts", F.col("attempts") + 1)
+                .select(*FRONTIER_COLS_PENDING)
+            )
+            fetched_now = (
+                enriched.where(F.col("outcome") == "fetched")
+                .withColumn("state", F.lit("fetched"))
+                .select(*FRONTIER_COLS)
+            )
+            pending_base = untouched_pending.select(*FRONTIER_COLS_PENDING).unionByName(
+                retries
+            )
+            seen_urls = (
+                pending_base.select("url")
+                .unionByName(fetched_now.select("url"))
+                .unionByName(
+                    self._read(self.fetched_tbl, "frontier_fetched").select("url")
+                )
+            )
+            # seen_urls has pinned the PRE-append fetched version above, so the
+            # append can proceed concurrently with the link pipeline
+            futures.append(
+                pool.submit(
+                    self._commit, self.fetched_tbl, "frontier_fetched",
+                    fetched_now, mode="append",
+                )
+            )
+
+            fresh = new_urls(
+                cand,
+                seen_urls,
+                bloom=self.seen_bloom,
+                cuckoo=self.seen_cuckoo,
+                spark=self.spark,
+                # round candidates are bounded; once the frontier outgrows the
+                # threshold, the seen-scan probe shape (no frontier shuffle or
+                # driver broadcast) is the only safe plan
+                probe_broadcast=self.seq_counter > self.probe_broadcast_threshold,
+            )
+            # discovery-order seq assignment. Size-aware dispatch: a round's new
+            # links are bounded by batch_size × out_degree, so small batches use
+            # the bounded single-window rank (one fewer job — the window input
+            # is driver-page-sized); large batches use the two-stage distributed
+            # rank so 10^7 links never funnel through one task. Both produce the
+            # identical total order (pop_rank, link_pos).
+            if self.batch_size <= self.rank_window_threshold:
+                ranked = fresh.withColumn(
+                    "__rank",
+                    F.row_number().over(Window.orderBy("pop_rank", "link_pos")) - 1,
+                )
+                pinned = None
+            else:
+                ranked, pinned = with_global_rank(
+                    fresh, ["pop_rank", "link_pos"], rank_col="__rank"
+                )
+            new_rows = (
+                ranked.select(
+                    "url",
+                    F.xxhash64("url").alias("url_hash"),
+                    "host",
+                    F.col("depth").cast("int").alias("depth"),
+                    F.lit(0).alias("priority"),
+                    (F.col("__rank") + F.lit(self.seq_counter)).cast("long").alias("seq"),
+                    F.lit("pending").alias("state"),
+                    F.lit(0).alias("attempts"),
+                )
+                .withColumn("bucket", self._bucket())
+                .cache()
+            )
+            _t = _time.perf_counter()
+            n_new = new_rows.count()
+            _ph["links"] = _time.perf_counter() - _t
+
+            # merge-on-read delta commit, O(batch): every popped row version gets
+            # an equality 'del' on (url, attempts); retries re-append at
+            # attempts+1 and brand-new links append fresh. The base is untouched
+            # — no O(pending) rewrite in the round path. fetched stays a fast
+            # append of this round's rows.
+            dels = popped.select(*FRONTIER_COLS_PENDING).withColumn("op", F.lit("del"))
+            adds = (
+                retries.unionByName(new_rows.select(*FRONTIER_COLS_PENDING))
+            ).withColumn("op", F.lit("add"))
+            fut_delta = pool.submit(
+                self._commit,
+                self.pending_delta_tbl,
+                "frontier_pending_delta",
+                dels.unionByName(adds),
+                mode="append",
+                # per-commit lineage (north rule): which round produced this
+                # delta and its op cardinalities — time travel + audit
+                extra={"round": self.round_id, "dels": n_popped, "adds": n_new},
+            )
+            futures.append(fut_delta)
+            self.seq_counter += n_new
+            if self.compact_every and self.round_id % self.compact_every == 0:
+                _t = _time.perf_counter()
+                fut_delta.result()  # compaction folds the delta it just wrote
+                self._compact_pending()
+                _ph["compact"] = _time.perf_counter() - _t
+
+            # one stats pass: per-(host, outcome) counts + per-page-deduped link
+            # totals (links_seen = Σ distinct hrefs of fetched pages — identical
+            # to counting the exploded first-occurrence rows, without a 2nd job)
+            _t = _time.perf_counter()
+            stats = (
+                enriched.groupBy("host", "outcome")
+                .agg(F.count("*").alias("n"), self._rx["links_agg"])
+                .collect()
+            )
+            _ph["stats"] = _time.perf_counter() - _t
+            outcome_counts: dict[str, int] = {}
+            host_popped: dict[str, int] = {}
+            n_links_seen = 0
+            for r in stats:
+                outcome_counts[r["outcome"]] = outcome_counts.get(r["outcome"], 0) + r["n"]
+                host_popped[r["host"]] = host_popped.get(r["host"], 0) + r["n"]
+                n_links_seen += r["links"]
+
+            # politeness charge + per-host lineage metrics
+            popped_counts = self.spark.createDataFrame(
+                list(host_popped.items()), "host string, popped long"
             )
             futures.append(
                 pool.submit(
-                    self._commit, self.edges_tbl, "link_edges", edges,
-                    mode="append",
+                    self._commit, self.hosts_tbl, "hosts",
+                    charge_hosts(hosts, popped_counts),
                 )
             )
 
-        # link pipeline (P5→P1→P2→J6→J3)
-        links = (
-            enriched.where(F.col("outcome") == "fetched")
-            .select(
-                "pop_rank",
-                "depth",
-                F.posexplode_outer("out_links").alias("link_pos", "href"),
-            )
-            .where(F.col("href").isNotNull())
-        )
-        # Per-page link dedup (SO1) is algebraically FUSED into the global
-        # first-discovery aggregate below: keeping min link_pos per
-        # (pop_rank, href) then taking min(struct(pop_rank, link_pos))
-        # per url is identical to taking the min over the un-deduped rows
-        # (duplicates only add larger (pop_rank, link_pos) tuples, which
-        # can never win the min; same-page duplicates share depth). An
-        # explicit row_number window here would shuffle the whole exploded
-        # link set once more per round for no semantic effect — at 10^10
-        # scale that is the round's largest intermediate.
-        canon = links.withColumn("url", self._rx["canon_url"]).where(
-            self._rx["url_ok"]
-        )
-        first = canon.groupBy("url").agg(
-            F.min(F.struct("pop_rank", "link_pos", "depth")).alias("f")
-        )
-        cand = first.select(
-            "url",
-            F.col("f.pop_rank").alias("pop_rank"),
-            F.col("f.link_pos").alias("link_pos"),
-            (F.col("f.depth") + 1).alias("depth"),
-        ).transform(with_host_and_path)
-        # cached: bounded by batch x out-degree, and read twice below (the
-        # seen-probe broadcast build + the final anti-join)
-        cand = robots_allowed(
-            cand, prebuilt_rules=self._robots_rules,
-            compiled=self._robots_pred, try_compile=False,
-        ).cache()
-
-        # seen set: pending' ∪ fetched ∪ this round's fetches — this round's
-        # deaths have already left the set (simulator order: deletes happen
-        # before link insertion); popped non-dead rows stay seen
-        dead = enriched.where(F.col("outcome") == "dead").select("url", "url_hash")
-        untouched_pending = pending.join(
-            F.broadcast(popped.select("url")), "url", "left_anti"
-        )
-        retries = (
-            enriched.where(F.col("outcome") == "retry")
-            .withColumn("attempts", F.col("attempts") + 1)
-            .select(*FRONTIER_COLS_PENDING)
-        )
-        fetched_now = (
-            enriched.where(F.col("outcome") == "fetched")
-            .withColumn("state", F.lit("fetched"))
-            .select(*FRONTIER_COLS)
-        )
-        pending_base = untouched_pending.select(*FRONTIER_COLS_PENDING).unionByName(
-            retries
-        )
-        seen_urls = (
-            pending_base.select("url")
-            .unionByName(fetched_now.select("url"))
-            .unionByName(
-                self._read(self.fetched_tbl, "frontier_fetched").select("url")
-            )
-        )
-        # seen_urls has pinned the PRE-append fetched version above, so the
-        # append can proceed concurrently with the link pipeline
-        futures.append(
-            pool.submit(
-                self._commit, self.fetched_tbl, "frontier_fetched",
-                fetched_now, mode="append",
-            )
-        )
-
-        fresh = new_urls(
-            cand,
-            seen_urls,
-            bloom=self.seen_bloom,
-            cuckoo=self.seen_cuckoo,
-            spark=self.spark,
-            # round candidates are bounded; once the frontier outgrows the
-            # threshold, the seen-scan probe shape (no frontier shuffle or
-            # driver broadcast) is the only safe plan
-            probe_broadcast=self.seq_counter > self.probe_broadcast_threshold,
-        )
-        # discovery-order seq assignment. Size-aware dispatch: a round's new
-        # links are bounded by batch_size × out_degree, so small batches use
-        # the bounded single-window rank (one fewer job — the window input
-        # is driver-page-sized); large batches use the two-stage distributed
-        # rank so 10^7 links never funnel through one task. Both produce the
-        # identical total order (pop_rank, link_pos).
-        if self.batch_size <= self.rank_window_threshold:
-            ranked = fresh.withColumn(
-                "__rank",
-                F.row_number().over(Window.orderBy("pop_rank", "link_pos")) - 1,
-            )
-            pinned = None
-        else:
-            ranked, pinned = with_global_rank(
-                fresh, ["pop_rank", "link_pos"], rank_col="__rank"
-            )
-        new_rows = (
-            ranked.select(
-                "url",
-                F.xxhash64("url").alias("url_hash"),
-                "host",
-                F.col("depth").cast("int").alias("depth"),
-                F.lit(0).alias("priority"),
-                (F.col("__rank") + F.lit(self.seq_counter)).cast("long").alias("seq"),
-                F.lit("pending").alias("state"),
-                F.lit(0).alias("attempts"),
-            )
-            .withColumn("bucket", self._bucket())
-            .cache()
-        )
-        _t = _time.perf_counter()
-        n_new = new_rows.count()
-        _ph["links"] = _time.perf_counter() - _t
-
-        # merge-on-read delta commit, O(batch): every popped row version gets
-        # an equality 'del' on (url, attempts); retries re-append at
-        # attempts+1 and brand-new links append fresh. The base is untouched
-        # — no O(pending) rewrite in the round path. fetched stays a fast
-        # append of this round's rows.
-        dels = popped.select(*FRONTIER_COLS_PENDING).withColumn("op", F.lit("del"))
-        adds = (
-            retries.unionByName(new_rows.select(*FRONTIER_COLS_PENDING))
-        ).withColumn("op", F.lit("add"))
-        fut_delta = pool.submit(
-            self._commit,
-            self.pending_delta_tbl,
-            "frontier_pending_delta",
-            dels.unionByName(adds),
-            mode="append",
-            # per-commit lineage (north rule): which round produced this
-            # delta and its op cardinalities — time travel + audit
-            extra={"round": self.round_id, "dels": n_popped, "adds": n_new},
-        )
-        futures.append(fut_delta)
-        self.seq_counter += n_new
-        if self.compact_every and self.round_id % self.compact_every == 0:
-            _t = _time.perf_counter()
-            fut_delta.result()  # compaction folds the delta it just wrote
-            self._compact_pending()
-            _ph["compact"] = _time.perf_counter() - _t
-
-        # one stats pass: per-(host, outcome) counts + per-page-deduped link
-        # totals (links_seen = Σ distinct hrefs of fetched pages — identical
-        # to counting the exploded first-occurrence rows, without a 2nd job)
-        _t = _time.perf_counter()
-        stats = (
-            enriched.groupBy("host", "outcome")
-            .agg(F.count("*").alias("n"), self._rx["links_agg"])
-            .collect()
-        )
-        _ph["stats"] = _time.perf_counter() - _t
-        outcome_counts: dict[str, int] = {}
-        host_popped: dict[str, int] = {}
-        n_links_seen = 0
-        for r in stats:
-            outcome_counts[r["outcome"]] = outcome_counts.get(r["outcome"], 0) + r["n"]
-            host_popped[r["host"]] = host_popped.get(r["host"], 0) + r["n"]
-            n_links_seen += r["links"]
-
-        # politeness charge + per-host lineage metrics
-        popped_counts = self.spark.createDataFrame(
-            list(host_popped.items()), "host string, popped long"
-        )
-        futures.append(
-            pool.submit(
-                self._commit, self.hosts_tbl, "hosts",
-                charge_hosts(hosts, popped_counts),
-            )
-        )
-
-        m = {
-            "round": self.round_id,
-            "popped": n_popped,
-            "fetched": outcome_counts.get("fetched", 0),
-            "dead": outcome_counts.get("dead", 0),
-            "retried": outcome_counts.get("retry", 0),
-            "links_seen": int(n_links_seen),
-            "links_inserted": n_new,
-        }
-        metric_rows = [
-            (self.round_id, "round", k, int(v)) for k, v in m.items() if k != "round"
-        ] + [
-            (self.round_id, f"host:{h}", "popped", int(n))
-            for h, n in sorted(host_popped.items())
-        ]
-        _t = _time.perf_counter()
-        self._commit_rows(
-            self.metrics_tbl,
-            "metrics",
-            metric_rows,
-            "round int, scope string, key string, value long",
-            mode="append",
-        )
-        _ph["metrics"] = _time.perf_counter() - _t
-
-        _t = _time.perf_counter()
-        self._maintain_filters(
-            new_rows.select("url_hash"),
-            dead.select("url_hash") if self.use_cuckoo else None,
-        )
-        _ph["filters"] = _time.perf_counter() - _t
-        # barrier: every commit must be durable (a raised CommitConflict or
-        # write error surfaces here) before the checkpoint pointer advances
-        _t = _time.perf_counter()
-        for fut in futures:
-            fut.result()
-        _ph["commits_join"] = _time.perf_counter() - _t
-        if self.compact_every and self.round_id % self.compact_every == 0:
-            # bin-pack the append-only tables' per-round files (Iceberg
-            # rewrite_data_files, SnapshotTable.compact_tail): each table
-            # gains one small file per round, and fetched is re-read every
-            # round by the seen-side union — unfolded, reader file counts
-            # grow O(rounds) (the late-round drift measured in
-            # BENCH/BASELINE.md's 200k-page run). Tail-only fold ⇒
-            # amortized O(batch) per round; runs after the commit barrier
-            # so this round's appends are durable, before the checkpoint
-            # so the folded versions are the pinned ones.
-            _t = _time.perf_counter()
-            fold = [
-                (self.fetched_tbl, "frontier_fetched"),
-                (self.documents_tbl, "documents"),
-                (self.metrics_tbl, "metrics"),
+            m = {
+                "round": self.round_id,
+                "popped": n_popped,
+                "fetched": outcome_counts.get("fetched", 0),
+                "dead": outcome_counts.get("dead", 0),
+                "retried": outcome_counts.get("retry", 0),
+                "links_seen": int(n_links_seen),
+                "links_inserted": n_new,
+            }
+            metric_rows = [
+                (self.round_id, "round", k, int(v)) for k, v in m.items() if k != "round"
+            ] + [
+                (self.round_id, f"host:{h}", "popped", int(n))
+                for h, n in sorted(host_popped.items())
             ]
-            if self.track_link_graph:
-                fold.append((self.edges_tbl, "link_edges"))
-            for tbl, name in fold:
-                info = tbl.compact_tail(
-                    self.spark, parent_version=self.versions.get(name)
-                )
-                if info is not None:
-                    self.versions[name] = info.version
-            _ph["compact_tail"] = _time.perf_counter() - _t
-        _t = _time.perf_counter()
-        self._save_checkpoint()
-        _ph["ckpt"] = _time.perf_counter() - _t
-        # long crawls would otherwise accumulate O(rounds) pending-table
-        # rewrites; keep a bounded time-travel window (checkpoint pins the
-        # current version, which is always retained)
-        if self.snapshot_keep:
             _t = _time.perf_counter()
-            self.pending_tbl.expire_snapshots(keep=self.snapshot_keep)
-            self.pending_delta_tbl.expire_snapshots(keep=self.snapshot_keep)
-            self.hosts_tbl.expire_snapshots(keep=self.snapshot_keep)
-            # append-only tables: before compact_tail existed, expiry was a
-            # no-op here (every dir stayed referenced by the current
-            # manifest); now it GCs the folded-away per-round files
-            self.fetched_tbl.expire_snapshots(keep=self.snapshot_keep)
-            self.documents_tbl.expire_snapshots(keep=self.snapshot_keep)
-            self.metrics_tbl.expire_snapshots(keep=self.snapshot_keep)
-            if self.track_link_graph:
-                self.edges_tbl.expire_snapshots(keep=self.snapshot_keep)
-            _ph["expire"] = _time.perf_counter() - _t
-        popped.unpersist()
-        enriched.unpersist()
-        new_rows.unpersist()
-        cand.unpersist()
-        if pinned is not None:
-            pinned.unpersist()
-        if self.profile_rounds:
-            _ph["total"] = _time.perf_counter() - _t0
-            _ph["other"] = _ph["total"] - sum(
-                v for k, v in _ph.items() if k != "total"
+            self._commit_rows(
+                self.metrics_tbl,
+                "metrics",
+                metric_rows,
+                "round int, scope string, key string, value long",
+                mode="append",
             )
-            m["phases"] = {k: round(v, 3) for k, v in _ph.items()}
-        return m
+            _ph["metrics"] = _time.perf_counter() - _t
+
+            _t = _time.perf_counter()
+            self._maintain_filters(
+                new_rows.select("url_hash"),
+                dead.select("url_hash") if self.use_cuckoo else None,
+            )
+            _ph["filters"] = _time.perf_counter() - _t
+            # barrier: every commit must be durable (a raised CommitConflict or
+            # write error surfaces here) before the checkpoint pointer advances
+            _t = _time.perf_counter()
+            for fut in futures:
+                fut.result()
+            _ph["commits_join"] = _time.perf_counter() - _t
+            if self.compact_every and self.round_id % self.compact_every == 0:
+                # bin-pack the append-only tables' per-round files (Iceberg
+                # rewrite_data_files, SnapshotTable.compact_tail): each table
+                # gains one small file per round, and fetched is re-read every
+                # round by the seen-side union — unfolded, reader file counts
+                # grow O(rounds) (the late-round drift measured in
+                # BENCH/BASELINE.md's 200k-page run). Tail-only fold ⇒
+                # amortized O(batch) per round; runs after the commit barrier
+                # so this round's appends are durable, before the checkpoint
+                # so the folded versions are the pinned ones.
+                _t = _time.perf_counter()
+                fold = [
+                    (self.fetched_tbl, "frontier_fetched"),
+                    (self.documents_tbl, "documents"),
+                    (self.metrics_tbl, "metrics"),
+                ]
+                if self.track_link_graph:
+                    fold.append((self.edges_tbl, "link_edges"))
+                for tbl, name in fold:
+                    info = tbl.compact_tail(
+                        self.spark, parent_version=self.versions.get(name)
+                    )
+                    if info is not None:
+                        self.versions[name] = info.version
+                _ph["compact_tail"] = _time.perf_counter() - _t
+            _t = _time.perf_counter()
+            self._save_checkpoint()
+            _ph["ckpt"] = _time.perf_counter() - _t
+            # long crawls would otherwise accumulate O(rounds) pending-table
+            # rewrites; keep a bounded time-travel window (checkpoint pins the
+            # current version, which is always retained)
+            if self.snapshot_keep:
+                _t = _time.perf_counter()
+                self.pending_tbl.expire_snapshots(keep=self.snapshot_keep)
+                self.pending_delta_tbl.expire_snapshots(keep=self.snapshot_keep)
+                self.hosts_tbl.expire_snapshots(keep=self.snapshot_keep)
+                # append-only tables: before compact_tail existed, expiry was a
+                # no-op here (every dir stayed referenced by the current
+                # manifest); now it GCs the folded-away per-round files
+                self.fetched_tbl.expire_snapshots(keep=self.snapshot_keep)
+                self.documents_tbl.expire_snapshots(keep=self.snapshot_keep)
+                self.metrics_tbl.expire_snapshots(keep=self.snapshot_keep)
+                if self.track_link_graph:
+                    self.edges_tbl.expire_snapshots(keep=self.snapshot_keep)
+                _ph["expire"] = _time.perf_counter() - _t
+            popped.unpersist()
+            enriched.unpersist()
+            new_rows.unpersist()
+            cand.unpersist()
+            if pinned is not None:
+                pinned.unpersist()
+            if self.profile_rounds:
+                _ph["total"] = _time.perf_counter() - _t0
+                _ph["other"] = _ph["total"] - sum(
+                    v for k, v in _ph.items() if k != "total"
+                )
+                m["phases"] = {k: round(v, 3) for k, v in _ph.items()}
+            return m
+        finally:
+            if _round_parts < _sess_parts:
+                self.spark.conf.set(
+                    "spark.sql.shuffle.partitions", str(_sess_parts)
+                )
 
     def run(
         self,
