@@ -20,19 +20,32 @@ from pyspark.sql import functions as F
 
 
 def _t(
-    spark: SparkSession, sf_dir: str, name: str, spread: str | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    spread: str | None = None,
+    light: bool = False,
 ) -> DataFrame:
     """Read one sf table. ``spread=<key col>`` re-spreads an under-split
     scan (the sf parquet files arrive as 1-6 row groups, so bare scans
     plan 1-6 tasks) across the session before heavy per-row compute —
     a no-op when the scan already plans full-width (real-scale inputs).
-    Only queries whose dominant cost sits below their first exchange
-    opt in; cheap/shuffle-bound queries keep their exact round-5 plans."""
+    ``light=True`` additionally applies the light-kernel byte floor so
+    sub-MB inputs keep their exchange-free plans. Only queries whose
+    dominant cost sits below their first exchange opt in;
+    cheap/shuffle-bound queries keep their exact round-5 plans."""
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if spread:
-        from mcp_crawl4ai_rag_spark.partitioning import spread_for_compute
+        from mcp_crawl4ai_rag_spark.partitioning import (
+            LIGHT_KERNEL_BYTES_PER_TASK,
+            spread_for_compute,
+        )
 
-        df = spread_for_compute(df, spread)
+        df = spread_for_compute(
+            df,
+            spread,
+            min_bytes_per_task=LIGHT_KERNEL_BYTES_PER_TASK if light else 0,
+        )
     return df
 
 
@@ -489,7 +502,7 @@ def q_c1_smart_chunker(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_c3_media_chunker(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mcp_crawl4ai_rag_spark.functions.chunking import chunk_media_documents
 
-    d = _t(spark, sf_dir, "documents", spread="doc_id").select(
+    d = _t(spark, sf_dir, "documents", spread="doc_id", light=True).select(
         _doc_url(F.col("source"), F.col("doc_id")).alias("url"),
         F.col("source").alias("title"),
         F.col("text").alias("content"),

@@ -768,11 +768,16 @@ def simhash_near_duplicates(
     The default 4 blocks only guarantees hamming <= 3; callers using a
     larger max_hamming trade recall in the (n_blocks..max_hamming] band
     for fewer candidates, exactly like MinHash banding."""
-    from mcp_crawl4ai_rag_spark.partitioning import spread_for_compute
+    from mcp_crawl4ai_rag_spark.partitioning import (
+        LIGHT_KERNEL_BYTES_PER_TASK,
+        spread_for_compute,
+    )
 
     # the signature UDF dominates; don't let an under-split scan feed it
-    # to 1-2 tasks (guide §2.5 input skew)
-    df = spread_for_compute(df, id_col)
+    # to 1-2 tasks (guide §2.5 input skew). Light kernel → byte floor.
+    df = spread_for_compute(
+        df, id_col, min_bytes_per_task=LIGHT_KERNEL_BYTES_PER_TASK
+    )
     sim = df.select(
         F.col(id_col).alias("id"),
         make_simhash_udf(hasher=hasher)(F.col(text_col)).alias("sh"),

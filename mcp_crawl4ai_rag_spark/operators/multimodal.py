@@ -197,10 +197,16 @@ def media_near_duplicates(
     `dedup_simhash_md5`. Video frames: run frame_sample_plan first and
     use (media_ref, frame_idx) as the id."""
     from mcp_crawl4ai_rag_spark.operators.dedup import hamming_near_duplicates
-    from mcp_crawl4ai_rag_spark.partitioning import spread_for_compute
+    from mcp_crawl4ai_rag_spark.partitioning import (
+        LIGHT_KERNEL_BYTES_PER_TASK,
+        spread_for_compute,
+    )
 
-    # per-payload hash kernel: spread an under-split scan first (§2.5)
-    media = spread_for_compute(media, id_col)
+    # per-payload hash kernel: spread an under-split scan first (§2.5).
+    # Light kernel → byte floor (tiny corpora keep exchange-free plans).
+    media = spread_for_compute(
+        media, id_col, min_bytes_per_task=LIGHT_KERNEL_BYTES_PER_TASK
+    )
     hashed = media.select(
         F.col(id_col).alias("id"),
         make_phash_udf(method)(F.col(payload_col)).alias("ph"),

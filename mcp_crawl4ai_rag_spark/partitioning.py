@@ -36,17 +36,39 @@ def compute_barrier(col: Column) -> Column:
     return F.shuffle(F.array(col))[0]
 
 
+# Floor for LIGHT per-row kernels (simhash, phash, the media chunker):
+# below ~64 KiB of input per task, the spread exchange costs more than
+# the parallelism saves (measured ~+0.2 s per query at sf0.1), while
+# above it the win dominates (10-20x at sf1.0). Heavy kernels (minhash
+# signatures, shingle/gram explodes, padded-dup scoring) pass no floor:
+# their per-byte cost makes the exchange worthwhile even on sub-MB
+# inputs (measured 2-4x wins at sf0.1).
+LIGHT_KERNEL_BYTES_PER_TASK = 64 * 1024
+
+
 def spread_for_compute(
-    df: DataFrame, *key_cols: str, target: int | None = None
+    df: DataFrame,
+    *key_cols: str,
+    target: int | None = None,
+    min_bytes_per_task: int = 0,
 ) -> DataFrame:
     """Repartition ``df`` to ``target`` (default: session parallelism)
     partitions iff it currently plans fewer — hash-partitioned on
     ``key_cols`` when given (no sort-before-repartition pass), round-robin
-    otherwise. Row content is unchanged; only placement moves."""
+    otherwise. Row content is unchanged; only placement moves.
+
+    ``min_bytes_per_task``: skip the spread when the optimizer's size
+    estimate divided by ``target`` falls below this — callers with light
+    per-row kernels use ``LIGHT_KERNEL_BYTES_PER_TASK`` so tiny inputs
+    keep their exchange-free plans."""
     sc = df.sparkSession.sparkContext
     target = target or sc.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
         return df
+    if min_bytes_per_task:
+        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        if est < min_bytes_per_task * target:
+            return df
     if key_cols:
         return df.repartition(target, *[F.col(c) for c in key_cols])
     return df.repartition(target)
