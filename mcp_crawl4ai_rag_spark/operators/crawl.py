@@ -57,6 +57,7 @@ from mcp_crawl4ai_rag_spark.operators.dedup import (
     BloomFilter,
     ShardedCuckoo,
     build_bloom,
+    build_bloom_with_count,
     maintain_sharded_cuckoo,
     new_urls,
 )
@@ -579,8 +580,16 @@ class CrawlEngine:
         rows = rows.cache()
         # materialize BEFORE fanning out: the two-stage rank's pinned
         # intermediate must be fully cached once so concurrent consumers
-        # can't re-sample range boundaries into divergent seq orders
-        n = rows.count()
+        # can't re-sample range boundaries into divergent seq orders.
+        # When the bloom is on, the materializing job doubles as its seed
+        # build (same fused shape as round(); one job instead of two).
+        if self.seen_bloom is not None:
+            _bf, n = build_bloom_with_count(
+                rows, "url_hash", self.seen_bloom.num_bits, self.seen_bloom.num_hashes
+            )
+            self.seen_bloom = self.seen_bloom.merge(_bf)
+        else:
+            n = rows.count()
         pool = self._commit_pool()
         futures = [
             pool.submit(self._commit_pending_base, rows),
@@ -618,7 +627,11 @@ class CrawlEngine:
             "round int, scope string, key string, value long",
         )
         self.seq_counter = n
-        self._maintain_filters(rows.select("url_hash"))
+        # bloom already folded in by the fused materialize above
+        if self.seen_cuckoo is not None:
+            self.seen_cuckoo = maintain_sharded_cuckoo(
+                self.spark, self.seen_cuckoo, rows.select("url_hash")
+            )
         for fut in futures:
             fut.result()
         pinned.unpersist()
@@ -722,26 +735,13 @@ class CrawlEngine:
         live.unpersist()
         return n
 
-    # -- seen-filter maintenance ---------------------------------------------
-
-    def _maintain_filters(
-        self, new_hashes_df: DataFrame, dead_hashes_df: DataFrame | None = None
-    ) -> None:
-        """Both filters are maintained distributed: the bloom as per-partition
-        bitmaps OR-merged on the driver, the cuckoo as per-shard updates in
-        executor tasks (deletes first — dead URLs leave the seen set before
-        link insertion). No key ever materializes on the driver."""
-        if self.seen_bloom is not None:
-            delta = build_bloom(
-                new_hashes_df, "url_hash", self.seen_bloom.num_bits, self.seen_bloom.num_hashes
-            )
-            self.seen_bloom = self.seen_bloom.merge(delta)
-        if self.seen_cuckoo is not None:
-            self.seen_cuckoo = maintain_sharded_cuckoo(
-                self.spark, self.seen_cuckoo, new_hashes_df, dead_hashes_df
-            )
-
     # -- one BFS round --------------------------------------------------------
+    # (seen-filter maintenance is fused into each path's materializing job:
+    # the bloom delta rides the count job — build_bloom_with_count — and the
+    # opt-in cuckoo runs its per-shard update pass at the old maintenance
+    # point. Both stay fully distributed: per-partition bitmaps OR-merged on
+    # the driver / per-shard updates in executor tasks; deletes first, so
+    # dead URLs leave the seen set before link insertion.)
 
     def round(self) -> dict:
         """Run one crawl round; returns the round's metrics dict
@@ -932,16 +932,23 @@ class CrawlEngine:
                 )
             )
 
+            # round candidates are bounded; once the frontier outgrows the
+            # threshold, the seen-scan probe shape (no frontier shuffle or
+            # driver broadcast) is the only safe plan. The approximate
+            # prefilter follows the same dispatch: it pays only in that
+            # probe regime (shrinks the broadcast probe set before the full
+            # seen scan) — against a small anti-joinable seen set its two
+            # Python/Arrow probe passes are pure added stages (new_urls
+            # docstring measurements; ~0.85 s/round at bench batch sizes).
+            # Output is exact on both paths, so dispatch never changes it.
+            _probe = self.seq_counter > self.probe_broadcast_threshold
             fresh = new_urls(
                 cand,
                 seen_urls,
-                bloom=self.seen_bloom,
-                cuckoo=self.seen_cuckoo,
+                bloom=self.seen_bloom if _probe else None,
+                cuckoo=self.seen_cuckoo if _probe else None,
                 spark=self.spark,
-                # round candidates are bounded; once the frontier outgrows the
-                # threshold, the seen-scan probe shape (no frontier shuffle or
-                # driver broadcast) is the only safe plan
-                probe_broadcast=self.seq_counter > self.probe_broadcast_threshold,
+                probe_broadcast=_probe,
             )
             # discovery-order seq assignment. Size-aware dispatch: a round's new
             # links are bounded by batch_size × out_degree, so small batches use
@@ -974,7 +981,21 @@ class CrawlEngine:
                 .cache()
             )
             _t = _time.perf_counter()
-            n_new = new_rows.count()
+            if self.seen_bloom is not None:
+                # fused materialize: the same job that counts (and populates
+                # the new_rows cache) builds this round's bloom delta —
+                # one job-scheduling round-trip instead of two. OR-merge is
+                # order-free, so merging here (instead of at the filter-
+                # maintenance point below) yields the identical bitmap.
+                _bf_delta, n_new = build_bloom_with_count(
+                    new_rows,
+                    "url_hash",
+                    self.seen_bloom.num_bits,
+                    self.seen_bloom.num_hashes,
+                )
+                self.seen_bloom = self.seen_bloom.merge(_bf_delta)
+            else:
+                n_new = new_rows.count()
             _ph["links"] = _time.perf_counter() - _t
 
             # merge-on-read delta commit, O(batch): every popped row version gets
@@ -1059,10 +1080,15 @@ class CrawlEngine:
             _ph["metrics"] = _time.perf_counter() - _t
 
             _t = _time.perf_counter()
-            self._maintain_filters(
-                new_rows.select("url_hash"),
-                dead.select("url_hash") if self.use_cuckoo else None,
-            )
+            # bloom delta already folded in by the fused materialize above;
+            # only the (opt-in) cuckoo still needs its per-shard update pass
+            if self.seen_cuckoo is not None:
+                self.seen_cuckoo = maintain_sharded_cuckoo(
+                    self.spark,
+                    self.seen_cuckoo,
+                    new_rows.select("url_hash"),
+                    dead.select("url_hash"),
+                )
             _ph["filters"] = _time.perf_counter() - _t
             # barrier: every commit must be durable (a raised CommitConflict or
             # write error surfaces here) before the checkpoint pointer advances

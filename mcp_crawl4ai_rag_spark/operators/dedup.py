@@ -133,6 +133,36 @@ def build_bloom(df: DataFrame, key_col: str, num_bits: int = 1 << 23, num_hashes
     return out
 
 
+def build_bloom_with_count(
+    df: DataFrame, key_col: str, num_bits: int = 1 << 23, num_hashes: int = 7
+) -> tuple[BloomFilter, int]:
+    """build_bloom fused with a row count in the SAME job: per-partition
+    (bitmap, rowcount) pairs, OR-merge + sum on the driver. Identical
+    filter to build_bloom (bitwise OR is order-free); saves the separate
+    count() job on paths that need both — the crawl round's per-round
+    new-link materialization is one full job-scheduling round-trip
+    cheaper."""
+    nb, nh = num_bits, num_hashes
+
+    def per_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bf = BloomFilter(nb, nh)
+        n = 0
+        for batch in batches:
+            keys = batch[key_col].to_numpy(dtype=np.int64)
+            bf.add_many(keys)
+            n += len(batch)
+        if n:
+            yield pd.DataFrame({"bits": [bf.to_bytes()], "n": [n]})
+
+    parts = df.select(key_col).mapInPandas(per_partition, "bits binary, n long").collect()
+    out = BloomFilter(nb, nh)
+    total = 0
+    for row in parts:
+        out = out.merge(BloomFilter.from_bytes(row["bits"], nh))
+        total += row["n"]
+    return out, total
+
+
 _WORKER_BLOOM_CACHE: dict = {}
 
 

@@ -145,6 +145,22 @@ def test_distributed_bloom_build(spark):
     assert bf.contains_many(keys).all()
 
 
+def test_build_bloom_with_count_matches_build_bloom(spark):
+    """The fused one-job (bloom, count) build must produce the exact same
+    bitmap as build_bloom (OR-merge is order-free) plus the exact row
+    count — the crawl round's materializing job relies on both."""
+    df = spark.range(0, 5000).select(F.xxhash64("id").alias("key")).repartition(6)
+    bf_ref = D.build_bloom(df, "key", num_bits=1 << 18)
+    bf_fused, n = D.build_bloom_with_count(df, "key", num_bits=1 << 18)
+    assert n == 5000
+    assert bf_fused.to_bytes() == bf_ref.to_bytes()
+    # empty input: zero count, empty filter
+    empty = df.where("key is null")
+    bf_e, n_e = D.build_bloom_with_count(empty, "key", num_bits=1 << 18)
+    assert n_e == 0
+    assert not bf_e.bits.any()
+
+
 def test_new_urls_with_and_without_bloom(spark):
     cands = spark.createDataFrame(
         [(f"https://h/{i}",) for i in range(200)] + [("https://h/5",)], ["url"]
