@@ -538,9 +538,14 @@ class CrawlEngine:
             [(u, p, i) for i, (u, p) in enumerate(seeds)],
             "raw_url string, priority int, seed_idx long",
         )
-        return self.seed_df(df)
+        return self.seed_df(df, n_rows_hint=len(seeds))
 
-    def seed_df(self, seeds_df: DataFrame, order_cols: list | None = None) -> int:
+    def seed_df(
+        self,
+        seeds_df: DataFrame,
+        order_cols: list | None = None,
+        n_rows_hint: int | None = None,
+    ) -> int:
         """Seed the frontier from a DataFrame — the scale path for sitemap /
         url-list sources (sources/seeds.py): canonicalize → malformed →
         robots → first-occurrence dedup → seq assignment in ``order_cols``
@@ -549,6 +554,16 @@ class CrawlEngine:
 
         seeds_df needs (raw_url, priority) plus the ``order_cols``
         (default ["seed_idx"]) defining seed order.
+
+        ``n_rows_hint`` — an upper bound on the seed count when the caller
+        knows it (the driver-list ``seed()`` path always does). Bounds at
+        or below ``rank_window_threshold`` take the bounded single-window
+        rank — the same size-aware dispatch as ``round()``'s link-seq
+        assignment, identical total order, and several fewer jobs (no
+        range-boundary sampling / local-index / counts passes) on
+        driver-page-sized seed lists. No hint (or a large one) keeps the
+        two-stage distributed rank so a 10^7-URL sitemap index never
+        funnels through one task.
         """
         order_cols = order_cols or ["seed_idx"]
         cand = (
@@ -562,7 +577,16 @@ class CrawlEngine:
             cand, prebuilt_rules=self._robots_rules,
             compiled=self._robots_pred, try_compile=False,
         )
-        ranked, pinned = with_global_rank(cand, order_cols, rank_col="__seed_rank")
+        if n_rows_hint is not None and n_rows_hint <= self.rank_window_threshold:
+            ranked = cand.withColumn(
+                "__seed_rank",
+                F.row_number().over(Window.orderBy(*order_cols)) - 1,
+            )
+            pinned = None
+        else:
+            ranked, pinned = with_global_rank(
+                cand, order_cols, rank_col="__seed_rank"
+            )
         rows = (
             ranked.withColumn("seq", F.col("__seed_rank").cast("long"))
             .select(
@@ -634,7 +658,8 @@ class CrawlEngine:
             )
         for fut in futures:
             fut.result()
-        pinned.unpersist()
+        if pinned is not None:
+            pinned.unpersist()
         rows.unpersist()
         self._save_checkpoint()
         return n
