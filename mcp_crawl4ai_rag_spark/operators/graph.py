@@ -40,6 +40,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 50,
+    driver_max_edges: int = 1 << 17,
 ) -> DataFrame:
     """Connected components over an undirected pair list.
 
@@ -47,13 +48,63 @@ def connected_components(
     component — the canonical "keep id" convention the exact-dedup
     operator already uses (dedup.py:exact_duplicates keep_id).
 
-    Iterative min-label propagation: each round every node takes the min
-    of its own label and its neighbors' labels; stop when no label
-    changes. Rounds are bounded by graph diameter (near-dup clusters are
-    shallow); each round is one groupBy shuffle on node id. Labels are
-    localCheckpointed each round to keep the plan tree flat.
+    Size-aware dispatch (the bounded-probe pattern of
+    compile_robots_predicate / the engine's rank_window_threshold): a
+    ``limit(driver_max_edges + 1)`` collect on the cached edge list
+    checks whether the WHOLE graph is driver-page-sized. If so, a
+    union-find with union-by-min-root labels it in O(edges α) — by
+    induction the root of every tree is its set's minimum, so find(v)
+    IS the canonical min label, independent of edge order — replacing
+    ~2 Spark jobs per propagation round with the single probe job.
+    A larger graph falls through to the distributed path below with the
+    probe's partial work retained in the edge cache (the probe is one
+    truncated extra job, never a second full pass). Both paths produce
+    the identical (id, comp) labeling; tests pin equality with the
+    driver path disabled (``driver_max_edges=0``).
+
+    Distributed path — iterative min-label propagation: each round every
+    node takes the min of its own label and its neighbors' labels; stop
+    when no label changes. Rounds are bounded by graph diameter (near-dup
+    clusters are shallow); each round is one groupBy shuffle on node id.
+    Labels are localCheckpointed each round to keep the plan tree flat.
     """
     edges = _edges_undirected(pairs, id_a, id_b).cache()
+    if driver_max_edges:
+        probe = edges.limit(driver_max_edges + 1).collect()
+        if len(probe) <= driver_max_edges:
+            from pyspark.sql.types import StructField, StructType
+
+            parent: dict = {}
+
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for r in probe:
+                a, b = r["src"], r["dst"]
+                if a not in parent:
+                    parent[a] = a
+                if b not in parent:
+                    parent[b] = b
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    # always hang the larger root under the smaller one:
+                    # keeps every tree's root = min of its members
+                    if ra < rb:
+                        parent[rb] = ra
+                    else:
+                        parent[ra] = rb
+            rows = sorted((v, find(v)) for v in parent)
+            dtype = edges.schema["src"].dataType
+            edges.unpersist()
+            return pairs.sparkSession.createDataFrame(
+                rows,
+                StructType(
+                    [StructField("id", dtype), StructField("comp", dtype)]
+                ),
+            )
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()

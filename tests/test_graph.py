@@ -32,6 +32,29 @@ def test_connected_components_chain_and_islands(spark):
     }
 
 
+def test_connected_components_driver_vs_distributed(spark):
+    """The bounded-probe union-find path must label exactly like the
+    distributed min-label propagation (driver_max_edges=0 disables the
+    probe), including schema, on a random multi-component graph with
+    dup/reversed/self edges."""
+    rng = np.random.default_rng(7)
+    edges = [
+        (int(a), int(b))
+        for a, b in rng.integers(0, 60, size=(120, 2))
+    ]
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got_drv = G.connected_components(pairs)
+    got_dist = G.connected_components(pairs, driver_max_edges=0)
+    assert got_drv.schema == got_dist.schema
+    drv = {r["id"]: r["comp"] for r in got_drv.collect()}
+    dist = {r["id"]: r["comp"] for r in got_dist.collect()}
+    assert drv == dist
+    # threshold boundary: a graph larger than the cap takes the
+    # distributed path and still matches
+    tiny_cap = G.connected_components(pairs, driver_max_edges=8)
+    assert {r["id"]: r["comp"] for r in tiny_cap.collect()} == drv
+
+
 def test_dedup_groups_membership(spark):
     pairs = spark.createDataFrame([(4, 2), (2, 9), (7, 8)], ["id_a", "id_b"])
     groups = {r["comp"]: r for r in G.dedup_groups(pairs).collect()}
