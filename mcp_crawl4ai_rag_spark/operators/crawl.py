@@ -848,6 +848,19 @@ class CrawlEngine:
             pool = self._commit_pool()
             futures: list = []
 
+            # one stats pass: per-(host, outcome) counts + per-page-deduped
+            # link totals (links_seen = Σ distinct hrefs of fetched pages —
+            # identical to counting the exploded first-occurrence rows,
+            # without a 2nd job). Submitted to the pool so its ~0.2-0.3 s
+            # job overlaps the main-thread link pipeline like the commits
+            # do (same bounded double-compute caveat on the enriched cache);
+            # the result is only consumed after the link materialization.
+            _stats_agg = (
+                enriched.groupBy("host", "outcome")
+                .agg(F.count("*").alias("n"), self._rx["links_agg"])
+            )
+            fut_stats = pool.submit(_stats_agg.collect)
+
             # documents fast-append (S4 content sink)
             docs = enriched.where(F.col("outcome") == "fetched").select(
                 "url",
@@ -1050,15 +1063,8 @@ class CrawlEngine:
                 self._compact_pending()
                 _ph["compact"] = _time.perf_counter() - _t
 
-            # one stats pass: per-(host, outcome) counts + per-page-deduped link
-            # totals (links_seen = Σ distinct hrefs of fetched pages — identical
-            # to counting the exploded first-occurrence rows, without a 2nd job)
             _t = _time.perf_counter()
-            stats = (
-                enriched.groupBy("host", "outcome")
-                .agg(F.count("*").alias("n"), self._rx["links_agg"])
-                .collect()
-            )
+            stats = fut_stats.result()
             _ph["stats"] = _time.perf_counter() - _t
             outcome_counts: dict[str, int] = {}
             host_popped: dict[str, int] = {}
